@@ -1,0 +1,326 @@
+"""Distributed SPIMI index build.
+
+The Spark-first counterpart of the reference's ``build_index`` lifecycle
+(reference: utils/build_index.c:20-75 → per-algorithm builders such as
+ssa/SSA.cpp:218-241, fm/fm_build.c:138-156).  Where the reference suffix-sorts
+one in-memory byte string (ds/ds.c:73-129), we:
+
+1. tokenize (JVM expression) and explode to ``(doc_id, term)``;
+2. hash documents into ``n_segments`` **segments** — the unit of build
+   parallelism, query fan-out, and resumability.  A segment bounds every
+   posting list's length, which is the distributed answer to head-term skew:
+   a Zipf head term becomes ``n_segments`` independent bounded rows instead
+   of one unbounded one (the role the reference's superbucket/bucket split
+   plays for its occ tables, fm/fm_build.c:580-702);
+3. partial-aggregate term frequencies JVM-side (map-side combine is free);
+4. shuffle once on ``(segment, term)``, sort runs within partitions, and pack
+   each (segment, term) run into delta-gap + varbyte blobs with block-max
+   skip metadata inside an Arrow-batched ``mapInPandas`` (all numpy, no
+   per-row Python);
+5. write Iceberg-style parquet partitioned by segment with dynamic partition
+   overwrite, so re-running a failed build rewrites only missing segments —
+   per-segment manifests with lineage + metrics make the build resumable
+   (north_rule; the reference's closest analog is its save/load split,
+   ssa/SSA.cpp:486-531).
+
+At 100 TB the same plan holds: one wide shuffle keyed by (segment, term),
+segment count scaled to keep per-task state in memory, AQE handling residual
+skew, and every downstream query touching only the term rows it needs thanks
+to parquet predicate pushdown on ``term``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_text_index_spark.codec import varbyte_encode
+from full_text_index_spark.corpus import doc_id_from_url
+from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX, tokens_col
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+BLOCK_SIZE_DEFAULT = 128
+
+POSTINGS_SCHEMA = (
+    "segment int, term string, df_seg long, cf_seg long, "
+    "doc_blob binary, tf_blob binary, "
+    "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
+    "block_max_impact array<double>, max_impact double"
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
+    def meta(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifests")
+
+    def manifest(self, segment: int) -> str:
+        return os.path.join(self.manifest_dir, f"segment_{segment:05d}.json")
+
+
+def _varbyte_sizes(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    nb = np.ones(len(v), np.int64)
+    for k in range(1, 10):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    return nb
+
+
+def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Pack contiguous (segment, term) runs — sorted by (segment, term,
+    doc_id) — into compressed posting rows.  Batch-wide varbyte encode, then
+    per-run slicing; inner loops are numpy."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
+                     "block_last", "block_doc_off", "block_tf_off",
+                     "block_max_impact", "max_impact"]
+        )
+    seg = pdf["segment"].to_numpy()
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    impact = pdf["impact"].to_numpy(dtype=np.float64)
+    term = pdf["term"].to_numpy()
+
+    change = np.empty(len(pdf), dtype=bool)
+    change[0] = True
+    change[1:] = (term[1:] != term[:-1]) | (seg[1:] != seg[:-1])
+    run_starts = np.flatnonzero(change)
+    run_ends = np.empty_like(run_starts)
+    run_ends[:-1] = run_starts[1:]
+    run_ends[-1] = len(pdf)
+
+    # delta-gap docIDs, reset at run starts (gap[start] = doc+1, see codec)
+    gaps = np.empty(len(doc), dtype=np.int64)
+    gaps[0] = doc[0] + 1
+    gaps[1:] = doc[1:] - doc[:-1]
+    gaps[run_starts] = doc[run_starts] + 1
+    if gaps.min() <= 0:
+        raise ValueError("postings not strictly sorted by (segment, term, doc_id)")
+
+    doc_buf = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
+    tf_buf = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
+    doc_end = np.cumsum(_varbyte_sizes(gaps))
+    tf_end = np.cumsum(_varbyte_sizes(tf))
+    doc_start = doc_end - _varbyte_sizes(gaps)
+    tf_start = tf_end - _varbyte_sizes(tf)
+
+    rows = []
+    for s, e in zip(run_starts, run_ends):
+        n = e - s
+        blob_d = doc_buf[doc_start[s]:doc_end[e - 1]].tobytes()
+        blob_t = tf_buf[tf_start[s]:tf_end[e - 1]].tobytes()
+        # block directory: entries every block_size postings
+        b_idx = np.arange(s, e, block_size)
+        b_end = np.minimum(b_idx + block_size, e)
+        block_last = doc[b_end - 1]
+        block_doc_off = (doc_start[b_idx] - doc_start[s]).astype(np.int32)
+        block_tf_off = (tf_start[b_idx] - tf_start[s]).astype(np.int32)
+        bmax = np.maximum.reduceat(impact[s:e], b_idx - s)
+        rows.append(
+            (
+                int(seg[s]), term[s], int(n), int(tf[s:e].sum()),
+                blob_d, blob_t,
+                block_last.tolist(), block_doc_off.tolist(), block_tf_off.tolist(),
+                bmax.tolist(), float(bmax.max()),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
+                 "block_last", "block_doc_off", "block_tf_off",
+                 "block_max_impact", "max_impact"],
+    )
+
+
+def _pack_map_in_pandas(block_size: int):
+    """mapInPandas packer with carry-over so a (segment, term) run spanning
+    Arrow batch boundaries inside one partition is packed once."""
+
+    def pack(iterator):
+        pending: pd.DataFrame | None = None
+        for pdf in iterator:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                pending = None
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_seg = pdf["segment"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["segment"] == last_seg)
+            # the final run may continue into the next batch — defer it; the
+            # mask is contiguous at the end because input is sorted
+            n_tail = int(tail_mask.to_numpy()[::-1].cumprod().sum())
+            head = pdf.iloc[: len(pdf) - n_tail]
+            pending = pdf.iloc[len(pdf) - n_tail:]
+            if len(head):
+                yield _pack_runs(head, block_size)
+        if pending is not None and len(pending):
+            yield _pack_runs(pending, block_size)
+
+    return pack
+
+
+def prepare_corpus(corpus: DataFrame) -> DataFrame:
+    """Ensure a deterministic non-negative doc_id column (derived from url
+    when absent — never from row order)."""
+    if "doc_id" in corpus.columns:
+        return corpus
+    return corpus.withColumn("doc_id", doc_id_from_url(F.col("url")))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    n_segments: int = 32,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    resume: bool = True,
+    segment_groups: int = 1,
+    build_id: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> IndexPaths:
+    """Build (or resume) the inverted index for ``corpus`` under ``out_dir``.
+
+    ``segment_groups`` > 1 splits the build into that many independent jobs
+    (each covering a slice of segments); a killed build resumes by skipping
+    every segment whose manifest is already present.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifest_dir, exist_ok=True)
+    build_id = build_id or f"build-{int(time.time())}"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = prepare_corpus(corpus).select("doc_id", "url", "text")
+
+    # ---- corpus statistics + doc_stats (one pass) -------------------------
+    toks = docs.select(
+        "doc_id", "url", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    doc_stats = (
+        toks.groupBy("doc_id", "url").agg(F.count("*").alias("doclen"))
+        .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int"))
+    )
+    done = {
+        int(f.split("_")[1].split(".")[0])
+        for f in os.listdir(paths.manifest_dir)
+        if f.startswith("segment_")
+    }
+    stats_ready = os.path.exists(paths.meta) and os.path.exists(
+        os.path.join(paths.doc_stats, "_SUCCESS")
+    )
+    if not (resume and stats_ready):
+        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
+    ds = spark.read.parquet(paths.doc_stats)
+    n_docs, sum_dl = ds.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("s")
+    ).first()
+    avgdl = float(sum_dl) / float(n_docs)
+    meta = {
+        "build_id": build_id, "n_docs": int(n_docs), "avgdl": avgdl,
+        "n_segments": n_segments, "block_size": block_size, "k1": k1, "b": b,
+        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v1",
+    }
+    with open(paths.meta, "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+    # ---- postings, segment-group at a time --------------------------------
+    sp = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    groups: list[list[int]] = [
+        [s for s in range(n_segments) if s % segment_groups == g]
+        for g in range(segment_groups)
+    ]
+    for group in groups:
+        todo = [s for s in group if not (resume and s in done)]
+        if not todo:
+            continue
+        tf = (
+            toks.withColumn(
+                "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
+            )
+            .where(F.col("segment").isin([int(s) for s in todo]))
+            .groupBy("segment", "term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id").withColumn(
+            "impact",
+            F.col("tf").cast("double")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
+        )
+        packed = (
+            tfn.repartition(sp, "segment", "term")
+            .sortWithinPartitions("segment", "term", "doc_id")
+            .select("segment", "term", "doc_id", "tf", "impact")
+            .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
+        )
+        packed.write.mode("overwrite").partitionBy("segment").parquet(paths.postings)
+        # per-segment lineage + metrics manifests (north_rule resumability)
+        metrics = (
+            spark.read.parquet(paths.postings)
+            .where(F.col("segment").isin([int(s) for s in todo]))
+            .groupBy("segment")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df_seg").alias("n_postings"),
+                F.sum(F.octet_length("doc_blob")).alias("doc_bytes"),
+                F.sum(F.octet_length("tf_blob")).alias("tf_bytes"),
+            )
+            .collect()
+        )
+        by_seg = {r["segment"]: r for r in metrics}
+        for s in todo:
+            r = by_seg.get(s)
+            manifest = {
+                "segment": int(s), "build_id": build_id,
+                "runs_merged": int(sp),
+                "n_terms": int(r["n_terms"]) if r else 0,
+                "postings_emitted": int(r["n_postings"]) if r else 0,
+                "bytes_compressed": int((r["doc_bytes"] + r["tf_bytes"]) if r else 0),
+                "completed_at": time.time(),
+            }
+            with open(paths.manifest(s), "w") as fh:
+                json.dump(manifest, fh)
+
+    # ---- global term stats (vocab-sized; one small agg over postings) -----
+    postings = spark.read.parquet(paths.postings)
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df_seg").alias("df"),
+            F.sum("cf_seg").alias("cf"),
+            F.max("max_impact").alias("max_impact"),
+        )
+        .write.mode("overwrite")
+        .parquet(paths.term_stats)
+    )
+    return paths

@@ -1,0 +1,66 @@
+"""Index handle — open a built index and expose its tables.
+
+The counterpart of the reference's ``load_index`` (reference:
+utils/interface.h:44; ssa/SSA.cpp:506-531): persistence is native parquet,
+so "loading" is lazy DataFrame definition plus one small JSON of global
+stats (n_docs, avgdl — the analog of the C array / global counts the
+reference serializes first, ssa/SSA.cpp:487-489).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_text_index_spark.build import IndexPaths
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.meta) as fh:
+            self.meta = json.load(fh)
+        self.n_docs: int = self.meta["n_docs"]
+        self.avgdl: float = self.meta["avgdl"]
+        self.k1: float = self.meta["k1"]
+        self.b: float = self.meta["b"]
+        self.n_segments: int = self.meta["n_segments"]
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "InvertedIndex":
+        return cls(spark, root)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def term_stats(self) -> DataFrame:
+        """(term, df, cf, max_impact) + derived idf — vocab-sized."""
+        ts = self.spark.read.parquet(self.paths.term_stats)
+        n = float(self.n_docs)
+        return ts.withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.doc_stats)
+
+    def index_size_bytes(self) -> int:
+        """`index_size` analog (reference: utils/interface.h:70)."""
+        row = (
+            self.postings()
+            .agg(
+                (
+                    F.sum(F.octet_length("doc_blob"))
+                    + F.sum(F.octet_length("tf_blob"))
+                ).alias("sz")
+            )
+            .first()
+        )
+        return int(row["sz"] or 0)

@@ -1,0 +1,344 @@
+"""Query-side operators: BM25 top-k (block-max MaxScore), count, locate,
+extract, display.
+
+The counterparts of the reference's query API (reference:
+utils/interface.h:59-92) and its query drivers (utils/run_queries.c:124-383):
+
+* ``count``/``locate`` — backward search + LF-walk (ssa/SSA.cpp:242-339)
+  become a term-stats lookup / posting-block decode;
+* BM25 top-k is our ranked extension (the north_rule), with **block-max
+  MaxScore** pruning: per-block max-impact metadata (the analog of the
+  superbucket occ headers, fm/fm_occurences.c:178-255) lets non-essential
+  terms decode only the blocks that can still change the top-k;
+* ``extract``/``display`` — the reference's decompression walks
+  (fm/fm_extract.c:21-98) collapse to ``substring`` projections because the
+  text is a stored column.
+
+Distribution model: queries broadcast to every index segment; scoring runs
+segment-local (cogrouped with that segment's doc lengths — no shuffle of
+postings); only the per-(query, segment) top-k rows — k · n_segments ·
+n_queries tiny rows — shuffle for the global merge.  This is the plan that
+survives 100 TB: the big tables never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from full_text_index_spark.codec import decode_gaps, varbyte_decode
+from full_text_index_spark.index import InvertedIndex
+
+# final ranking rounds scores to 6 decimals before ordering so rank identity
+# is robust to <=1-ulp libm differences between engines (SURVEY.md §7(a))
+RANK_ROUND = 6
+_EPS = 10.0 ** (-RANK_ROUND)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def _matched_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """postings rows for the query vocabulary; uses an IN-list when the
+    vocabulary is small (parquet row-group pruning on the sorted `term`
+    column), else a broadcast semi-join."""
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    p = index.postings()
+    if len(terms) <= 2000:
+        return p.where(F.col("term").isin(terms))
+    return p.join(F.broadcast(qterms.select("term").distinct()), "term")
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    use_blockmax: bool = True,
+) -> DataFrame:
+    """Top-k BM25 (k1, b from the index meta) for ``queries(qid, terms)``.
+
+    Query terms are set-semantics (duplicates ignored). Returns
+    (qid, rank, doc_id, score) with rank 1..k, tie-break (score@6 desc,
+    doc_id asc). Queries whose terms all miss the vocabulary return no rows
+    (the reference's "char not in file" path, fm/fm_search.c:204-211).
+    """
+    spark = index.spark
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    qterms = (
+        queries.select("qid", F.explode("terms").alias("term"))
+        .distinct()
+        .join(F.broadcast(index.term_stats().select("term", "idf")), "term")
+    )
+    matched = _matched_postings(index, qterms)
+
+    if not use_blockmax:
+        # exact path: vectorized decode → JVM join + agg + window (no Python
+        # scoring); keeps Catalyst in charge of the whole relational tail.
+        decoded = _decode_postings(matched)
+        scored = (
+            decoded.join(F.broadcast(qterms), "term")
+            .join(index.doc_stats().select("doc_id", "doclen"), "doc_id")
+            .withColumn(
+                "contrib",
+                F.col("idf") * (k1 + 1.0) * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return _rank_topk(scored, k)
+
+    # block-max MaxScore path: postings cogrouped with segment doc lengths
+    qp = matched.join(F.broadcast(qterms), "term").select(
+        "segment", "qid", "term", "idf", "df_seg",
+        "doc_blob", "tf_blob", "block_last", "block_doc_off", "block_tf_off",
+        "block_max_impact", "max_impact",
+    )
+    ds = index.doc_stats().select("segment", "doc_id", "doclen")
+    kernel = _make_maxscore_kernel(k1=k1, b=b, avgdl=avgdl, k=k)
+    seg_topk = qp.groupBy("segment").cogroup(ds.groupBy("segment")).applyInPandas(
+        kernel, schema="qid long, doc_id long, score double"
+    )
+    return _rank_topk(seg_topk, k)
+
+
+def _decode_postings(postings: DataFrame) -> DataFrame:
+    """(segment, term, blobs…) → exploded (segment, term, doc_id, tf) via a
+    vectorized Arrow-batched decoder."""
+
+    def decode(iterator):
+        for pdf in iterator:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                docs = decode_gaps(row.doc_blob)
+                tfs = varbyte_decode(row.tf_blob)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "segment": np.full(len(docs), row.segment, dtype=np.int32),
+                            "term": row.term,
+                            "doc_id": docs,
+                            "tf": tfs,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=["segment", "term", "doc_id", "tf"])
+            )
+
+    return postings.select(
+        "segment", "term", "doc_blob", "tf_blob"
+    ).mapInPandas(decode, schema="segment int, term string, doc_id long, tf long")
+
+
+def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
+    """Per-segment block-max MaxScore scorer.
+
+    For each query: process terms in descending max-score; once the summed
+    max-scores of the remaining terms cannot lift any unseen document past
+    the current k-th score (θ), remaining terms are *non-essential* — only
+    current candidates are looked up in them, decoding only the blocks that
+    contain a candidate AND whose block-max can still matter.
+    """
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+        dl_docs = right["doc_id"].to_numpy(dtype=np.int64)
+        dl_order = np.argsort(dl_docs, kind="stable")
+        dl_docs = dl_docs[dl_order]
+        dl_vals = right["doclen"].to_numpy(dtype=np.float64)[dl_order]
+
+        def norms_for(docs: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(dl_docs, docs)
+            return k1 * (1.0 - b + b * dl_vals[pos] / avgdl)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, grp in left.groupby("qid", sort=False):
+            idf = grp["idf"].to_numpy(dtype=np.float64)
+            ms = idf * (k1 + 1.0) * grp["max_impact"].to_numpy(dtype=np.float64)
+            order = np.argsort(-ms, kind="stable")
+            rows = grp.iloc[order]
+            ms = ms[order]
+            suffix = np.concatenate([np.cumsum(ms[::-1])[::-1], [0.0]])
+
+            acc_docs = np.empty(0, dtype=np.int64)
+            acc_scores = np.empty(0, dtype=np.float64)
+            theta = -np.inf
+            for i, row in enumerate(rows.itertuples(index=False)):
+                essential = suffix[i] >= theta - _EPS
+                if essential:
+                    docs = decode_gaps(row.doc_blob)
+                    tfs = varbyte_decode(row.tf_blob).astype(np.float64)
+                else:
+                    # candidates that can still reach θ
+                    keep = acc_scores + suffix[i] >= theta - _EPS
+                    cand = acc_docs[keep]
+                    if len(cand) == 0:
+                        break
+                    docs, tfs = _lookup_blocks(
+                        row, cand, acc_scores[keep], row.idf, (k1 + 1.0),
+                        theta, suffix[i + 1],
+                    )
+                    if len(docs) == 0:
+                        continue
+                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
+                acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, contrib)
+                if len(acc_scores) >= k:
+                    theta = np.partition(acc_scores, len(acc_scores) - k)[
+                        len(acc_scores) - k
+                    ]
+            if len(acc_docs) == 0:
+                continue
+            n = min(k, len(acc_docs))
+            # tie policy: score rounded @6 desc, doc_id asc
+            key = np.lexsort((acc_docs, -np.round(acc_scores, RANK_ROUND)))[:n]
+            out_q.append(np.full(n, qid, dtype=np.int64))
+            out_d.append(acc_docs[key])
+            out_s.append(acc_scores[key])
+        if not out_q:
+            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
+def _merge_acc(acc_docs, acc_scores, docs, contrib):
+    d = np.concatenate([acc_docs, docs])
+    s = np.concatenate([acc_scores, contrib])
+    uniq, inv = np.unique(d, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sums, inv, s)
+    return uniq, sums
+
+
+def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
+                   idf: float, k1p1: float, theta: float, rest: float):
+    """Decode only the posting blocks of ``row`` that contain a candidate
+    docID and whose block-max contribution could still matter for it."""
+    block_last = np.asarray(row.block_last, dtype=np.int64)
+    block_off = np.asarray(row.block_doc_off, dtype=np.int64)
+    block_max = np.asarray(row.block_max_impact, dtype=np.float64)
+    blob = np.frombuffer(row.doc_blob, dtype=np.uint8)
+    tf_blob = np.frombuffer(row.tf_blob, dtype=np.uint8)
+    tf_off = np.asarray(row.block_tf_off, dtype=np.int64)
+
+    cand_blk = np.searchsorted(block_last, cand, side="left")
+    in_range = cand_blk < len(block_last)
+    # block-max skip, per candidate: acc + this block's max contribution +
+    # the remaining terms' max-scores must still reach θ
+    cb = cand_blk[in_range]
+    viable = (
+        cand_scores[in_range] + idf * k1p1 * block_max[cb] + rest
+        >= theta - _EPS
+    )
+    blk = np.unique(cb[viable])
+    docs_out, tfs_out = [], []
+    for bi in blk:
+        lo = block_off[bi]
+        hi = block_off[bi + 1] if bi + 1 < len(block_off) else len(blob)
+        prev = block_last[bi - 1] if bi > 0 else -1
+        docs = decode_gaps(blob[lo:hi], prev_last_doc=int(prev))
+        tlo = tf_off[bi]
+        thi = tf_off[bi + 1] if bi + 1 < len(tf_off) else len(tf_blob)
+        tfs = varbyte_decode(tf_blob[tlo:thi]).astype(np.float64)
+        pos = np.searchsorted(docs, cand)
+        pos = pos[pos < len(docs)]
+        hit = np.unique(pos[np.isin(docs[pos], cand)])
+        if len(hit):
+            docs_out.append(docs[hit])
+            tfs_out.append(tfs[hit])
+    if not docs_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+# ---------------------------------------------------------------------------
+# count / locate / extract / display — the reference's four query classes
+# ---------------------------------------------------------------------------
+
+def term_count(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """`count` analog (reference: utils/interface.h:59): occurrences (cf) and
+    matching docs (df) per term; absent terms → df=0, cf=0."""
+    spark = index.spark
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    ts = index.term_stats().select("term", "df", "cf")
+    return (
+        tdf.join(ts, "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+            F.coalesce(F.col("cf"), F.lit(0)).alias("cf"),
+        )
+    )
+
+
+def term_locate(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """`locate` analog (reference: utils/interface.h:66): every (doc_id, tf)
+    occurrence record of each term, decoded from the compressed postings."""
+    matched = index.postings().where(F.col("term").isin(list(terms)))
+    return _decode_postings(matched).select("term", "doc_id", "tf")
+
+
+def extract(corpus: DataFrame, intervals: DataFrame) -> DataFrame:
+    """`extract` analog (reference: utils/interface.h:79): substring
+    [from_char, to_char] (0-based, inclusive, clipped) of each url's text."""
+    return (
+        intervals.join(corpus.select("url", "text"), "url")
+        .select(
+            "url",
+            "from_char",
+            "to_char",
+            F.substring(
+                F.col("text"),
+                F.col("from_char") + 1,
+                F.col("to_char") - F.col("from_char") + 1,
+            ).alias("snippet"),
+        )
+    )
+
+
+def display(
+    index: InvertedIndex, corpus: DataFrame, queries: DataFrame,
+    numc: int = 30, k: int = 10,
+) -> DataFrame:
+    """`display` analog (reference: utils/interface.h:92): top-k docs per
+    query with ``numc`` chars of context around the first match of the
+    query's first term."""
+    topk = bm25_topk(index, queries, k=k)
+    first_term = queries.select(
+        "qid", F.element_at("terms", 1).alias("t0")
+    )
+    docs = corpus.select(F.col("doc_id"), "url", "text")
+    return (
+        topk.join(first_term, "qid")
+        .join(docs, "doc_id")
+        .withColumn("pos", F.instr(F.col("text"), F.col("t0")))
+        .select(
+            "qid", "rank", "doc_id", "url",
+            F.substring(
+                F.col("text"),
+                F.greatest(F.col("pos") - numc, F.lit(1)),
+                F.length(F.col("t0")) + 2 * numc,
+            ).alias("snippet"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Engine vs oracle rank-identity — the reference's differential test
+(reference: utils/compare.c:87-103; oracle role: sau/SAu.c:253-392)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from full_text_index_spark.oracle import bm25_oracle
+from full_text_index_spark.query import bm25_topk
+from full_text_index_spark.tokenizer import tokenize_py
+
+
+def _query_set(corpus_pdf: pd.DataFrame) -> list[tuple[int, list[str]]]:
+    """Seeded genpatterns analog: terms sampled from the corpus (guaranteed
+    hits) + the edge queries from FIXTURES.md §2."""
+    rng = np.random.default_rng(1234)
+    vocab = {}
+    for t in corpus_pdf["text"]:
+        for tok in tokenize_py(t):
+            vocab[tok] = vocab.get(tok, 0) + 1
+    terms = sorted(vocab)
+    weights = np.sqrt([vocab[t] for t in terms])
+    probs = weights / weights.sum()
+    queries: list[tuple[int, list[str]]] = []
+    qid = 0
+    for n_terms in [1] * 8 + [2] * 8 + [3] * 4:
+        pick = rng.choice(len(terms), size=n_terms, replace=False, p=probs)
+        queries.append((qid, [terms[i] for i in pick]))
+        qid += 1
+    head = max(vocab, key=vocab.get)
+    queries += [
+        (qid, ["absentterm"]),             # never occurs (corpus.py guarantees)
+        (qid + 1, ["singletonterm0"]),     # occurs exactly once
+        (qid + 2, [head]),                 # Zipf head term
+        (qid + 3, [head, head]),           # duplicated term (set semantics)
+        (qid + 4, [head, "absentterm"]),   # mixed present/absent
+    ]
+    return queries
+
+
+@pytest.fixture(scope="module")
+def query_set(tiny_corpus_pdf):
+    return _query_set(tiny_corpus_pdf)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(tiny_corpus_pdf, tiny_index):
+    docs = tiny_corpus_pdf.copy()
+    # same doc_ids the engine derived from url
+    ds = tiny_index.doc_stats().select("url", "doc_id").toPandas()
+    docs = docs.merge(ds, on="url")
+    return docs
+
+
+def _run_engine(tiny_index, queries, use_blockmax):
+    spark = tiny_index.spark
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in queries], "qid long, terms array<string>"
+    )
+    out = bm25_topk(tiny_index, qdf, k=10, use_blockmax=use_blockmax)
+    return out.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("use_blockmax", [False, True])
+def test_rank_identity_vs_oracle(tiny_index, oracle_result, query_set, use_blockmax):
+    golden = bm25_oracle(oracle_result, query_set, k=10)
+    got = _run_engine(tiny_index, query_set, use_blockmax)
+    golden = golden.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert len(got) == len(golden), (len(got), len(golden))
+    assert got["qid"].tolist() == golden["qid"].tolist()
+    assert got["rank"].tolist() == golden["rank"].tolist()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], golden["score"], rtol=1e-9)
+
+
+def test_blockmax_equals_exact(tiny_index, query_set):
+    a = _run_engine(tiny_index, query_set, use_blockmax=True)
+    b = _run_engine(tiny_index, query_set, use_blockmax=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_absent_query_returns_empty(tiny_index):
+    spark = tiny_index.spark
+    qdf = spark.createDataFrame([(0, ["absentterm"])], "qid long, terms array<string>")
+    assert bm25_topk(tiny_index, qdf).count() == 0
