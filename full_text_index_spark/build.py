@@ -188,12 +188,38 @@ def _pack_map_in_pandas(block_size: int):
     return pack
 
 
-def prepare_corpus(corpus: DataFrame) -> DataFrame:
-    """Ensure a deterministic non-negative doc_id column (derived from url
-    when absent — never from row order)."""
+N_ID_BUCKETS = 1024  # constant, independent of n_segments
+
+
+def prepare_corpus(corpus: DataFrame, n_segments: int | None = None) -> DataFrame:
+    """Ensure a deterministic, globally dense-ish ``doc_id`` column.
+
+    IDs are assigned as ``rank-of-url-hash-within-bucket · 1024 + bucket``
+    with ``bucket = hash(url) mod 1024``: the interleaving makes the ID set
+    dense in ~[0, n_docs + 1024] no matter how the index later partitions it,
+    so posting-list delta gaps stay 1-2 varbyte bytes (hash-space IDs would
+    make every gap ~9 bytes and void the compression — the same reason the
+    reference dictionary-remaps its alphabet before encoding,
+    fm/fm_build.c:450-491).  Ranks are over url-hash order, computed per
+    bucket in parallel, so IDs are deterministic for a given corpus and never
+    depend on row order (SURVEY.md §7 hard part (e)).
+    """
+    from pyspark.sql import Window
+
     if "doc_id" in corpus.columns:
         return corpus
-    return corpus.withColumn("doc_id", doc_id_from_url(F.col("url")))
+    h = doc_id_from_url(F.col("url"))
+    w = Window.partitionBy("bucket").orderBy("urlhash", "url")
+    return (
+        corpus.withColumn("urlhash", h)
+        .withColumn("bucket", F.pmod(F.col("urlhash"), F.lit(N_ID_BUCKETS)))
+        .withColumn(
+            "doc_id",
+            (F.row_number().over(w).cast("long") - 1) * F.lit(N_ID_BUCKETS).cast("long")
+            + F.col("bucket"),
+        )
+        .drop("urlhash", "bucket")
+    )
 
 
 def build_index(
@@ -221,15 +247,18 @@ def build_index(
     build_id = build_id or f"build-{int(time.time())}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    docs = prepare_corpus(corpus).select("doc_id", "url", "text")
+    # segment is ALWAYS pmod(doc_id, n_segments) — never trust an incoming
+    # segment column, whose modulus may differ
+    docs = prepare_corpus(corpus).select("doc_id", "url", "text").withColumn(
+        "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
+    )
 
     # ---- corpus statistics + doc_stats (one pass) -------------------------
     toks = docs.select(
-        "doc_id", "url", F.explode(tokens_col(F.col("text"))).alias("term")
+        "doc_id", "segment", "url", F.explode(tokens_col(F.col("text"))).alias("term")
     )
-    doc_stats = (
-        toks.groupBy("doc_id", "url").agg(F.count("*").alias("doclen"))
-        .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int"))
+    doc_stats = toks.groupBy("doc_id", "segment", "url").agg(
+        F.count("*").alias("doclen")
     )
     done = {
         int(f.split("_")[1].split(".")[0])
@@ -265,10 +294,7 @@ def build_index(
         if not todo:
             continue
         tf = (
-            toks.withColumn(
-                "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
-            )
-            .where(F.col("segment").isin([int(s) for s in todo]))
+            toks.where(F.col("segment").isin([int(s) for s in todo]))
             .groupBy("segment", "term", "doc_id")
             .agg(F.count("*").alias("tf"))
         )

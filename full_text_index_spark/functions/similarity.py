@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and
+an LSH-bucketed (random-hyperplane) variant for the scale path.
+
+Dot products are pure JVM higher-order array expressions
+(``zip_with`` + sequential ``aggregate`` fold — the fold order is specified,
+so the DuckDB oracle reproduces the float64 arithmetic bit-for-bit).
+Hyperplanes use integer arithmetic (no RNG, no libm) so both engines derive
+identical planes.
+
+Scale notes: brute force is a broadcast nested-loop (queries are broadcast,
+corpus streams) — correct baseline at any corpus size when the query batch
+is small.  The LSH path buckets both sides on sign-pattern keys, turning the
+N×M cross join into per-bucket joins (candidate sets shrink ~2^planes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+PLANE_MOD = 1_000_003
+PLANE_SUB = (1_000_003 - 1) // 2  # 501001 → weights centered on ~0
+
+
+def _dot(a, b):
+    """Sequential-fold float64 dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (by id), the k nearest
+    other vectors. Output (qid, rank, vec_id, sim_i = floor(cos·10^4))."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("qid"))
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = pairs.select(
+        "qid", F.col(id_col).alias("vec_id"),
+        F.floor(sim * 10_000).cast("long").alias("sim_i"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_i"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "sim_i")
+    )
+
+
+def _plane_weight(j, i):
+    """Deterministic integer hyperplane weight w[j][i] — exact in both
+    engines: ((i·2654435761 + j·40503 + 7) mod 1000003) − 501001."""
+    return (
+        (i * F.lit(2654435761) + j * F.lit(40503) + F.lit(7)) % F.lit(PLANE_MOD)
+    ) - F.lit(PLANE_SUB)
+
+
+def lsh_bucket(vec_col, n_planes: int = LSH_PLANES):
+    """Sign-pattern bucket id of a vector under the deterministic planes."""
+    dim_idx = F.sequence(F.lit(1), F.size(vec_col))
+
+    def plane_sign(j):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col, dim_idx,
+                lambda x, i: x.cast("double") * _plane_weight(j, i).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (dot > 0).cast("long")
+
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bucket = bucket + F.shiftleft(plane_sign(F.lit(j)), j)
+    return bucket
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's sign-pattern bucket;
+    exact cosine re-rank within the bucket.  Approximate by construction —
+    the oracle applies the identical bucketing, so results are deterministic.
+    Output (qid, rank, vec_id, sim_i)."""
+    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    q = with_bucket.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = with_bucket.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("qid")),
+    )
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = cands.select(
+        "qid", F.col(id_col).alias("vec_id"),
+        F.floor(sim * 10_000).cast("long").alias("sim_i"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_i"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "sim_i")
+    )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding accounting: count + mean L2 norm (×10^4, floored).
+    Output (label, n, mean_norm_i)."""
+    norms = embeddings.select(
+        "label", _norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.avg("nrm") * 10_000).cast("long").alias("mean_norm_i"),
+        )
+        .orderBy("label")
+    )

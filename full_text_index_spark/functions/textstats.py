@@ -1,0 +1,163 @@
+"""Text-analysis operators: vocabulary stats, entropy, quality scoring,
+language-ID heuristic, token counting, document fingerprinting.
+
+The analogs of the reference's corpus-statistics tools ``alph`` (alphabet
+stats, utils/alph.c:14-62) and ``entrop`` (empirical entropy,
+utils/entrop.c:72-183), extended with the text-quality operators a
+large-scale training-data pipeline needs.
+
+Everything is JVM-side DataFrame expressions.  The deterministic
+cross-engine hash used by fingerprints / minhash / simhash is a polynomial
+char hash mod 2^31-1, expressible identically in Spark higher-order
+functions and DuckDB list lambdas (so the DuckDB differential oracle can
+reproduce it bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from full_text_index_spark.tokenizer import tokens_col
+
+HASH_P = 2_147_483_647  # 2^31 - 1; keeps acc*31+c < 2^36 (exact in int64)
+HASH_SEED = 7
+
+# tiny fixed stopword list for quality scoring — order must match the SQL
+STOPWORDS = ["a", "and", "in", "of", "the", "to"]
+
+
+def token_hash(tok: Column) -> Column:
+    """Polynomial hash of a token: fold (acc*31 + ascii(c)) % P, seed 7.
+
+    DuckDB rendering (textstats_sql.token_hash_sql) folds the identical
+    sequence, so hashes agree bit-for-bit across engines.
+    """
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(HASH_P),
+    )
+
+
+def token_hash_sql(tok_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend({HASH_SEED}::BIGINT, "
+        f"list_transform(regexp_split_to_array({tok_expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (acc, c) -> (acc*31 + c) % {HASH_P})"
+    )
+
+
+def vocab_stats(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """(term, df, cf) for the top_n terms by collection frequency — the
+    `alph` analog."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), "term")
+        .limit(top_n)
+        .select("term", "df", "cf")
+    )
+
+
+def h0_entropy(docs: DataFrame) -> DataFrame:
+    """Empirical 0-order token entropy of the corpus (bits/token) — the
+    `entrop` analog. One row: (n_tokens, vocab, h0_milli = floor(H0·10^4))."""
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    tot = freqs.agg(
+        F.sum("cf").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    p = F.col("cf") / F.col("n_tokens")
+    return (
+        freqs.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("vocab").alias("vocab"),
+            F.floor(F.sum(-p * F.log2(p)) * 10_000).cast("long").alias("h0_milli"),
+        )
+    )
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, regex (BPE-ish) tokens,
+    distinct terms, doclen — the token-counting operator."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features (×10^4, integer-scaled for cross-engine
+    comparison): stopword ratio, unique-token ratio, mean token length."""
+    toks = tokens_col(F.col("text"))
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    scale = F.lit(10_000)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor(n_stop * scale / n).cast("long").alias("stop_ratio_i"),
+        F.floor(n_uniq * scale / n).cast("long").alias("uniq_ratio_i"),
+        F.floor(tok_chars * scale / n).cast("long").alias("mean_tok_len_i"),
+    ).where(n > 0)
+
+
+# marker-token tables for the language-ID heuristic (deterministic; the
+# synthetic corpora carry a `lang` column so accuracy is measured, not assumed)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword-marker language ID: per doc, the language whose
+    marker hit-count is highest (ties → 'und'; no hits → 'und')."""
+    toks = tokens_col(F.col("text"))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array([F.lit(m) for m in markers])
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                f"hits_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    n_best = sum(
+        (F.col(f"hits_{l}") == best).cast("int") for l in langs
+    )
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:  # first (alphabetical) max wins when unique
+        pred = pred.when((F.col(f"hits_{l}") == best) & (n_best == 1), F.lit(l))
+    pred = pred.otherwise(F.lit("und"))
+    return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling fingerprint of the token stream:
+    fold (acc*31 + token_hash(t)) % P over tokens — the document-level
+    content fingerprint operator (an exact, seedless analog of a rolling
+    Rabin hash)."""
+    toks = tokens_col(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + token_hash(t)) % F.lit(HASH_P),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

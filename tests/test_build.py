@@ -1,0 +1,98 @@
+"""Build pipeline invariants: manifests, resumability, determinism,
+compression accounting (north_rule: resumable from per-partition checkpoints
+with lineage + metrics)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_text_index_spark.build import build_index, prepare_corpus
+from full_text_index_spark.index import InvertedIndex
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, tiny_corpus_pdf):
+    return prepare_corpus(spark.createDataFrame(tiny_corpus_pdf))
+
+
+def test_manifests_cover_all_segments(tiny_index):
+    n = tiny_index.n_segments
+    for s in range(n):
+        p = tiny_index.paths.manifest(s)
+        assert os.path.exists(p), f"missing manifest for segment {s}"
+        m = json.load(open(p))
+        assert m["segment"] == s
+        assert m["postings_emitted"] >= 0
+        assert "build_id" in m and "bytes_compressed" in m
+
+
+def test_manifest_metrics_match_postings(tiny_index):
+    got = {
+        r["segment"]: (r["n"], r["bytes"])
+        for r in tiny_index.postings()
+        .groupBy("segment")
+        .agg(
+            F.sum("df_seg").alias("n"),
+            (F.sum(F.octet_length("doc_blob")) + F.sum(F.octet_length("tf_blob"))).alias("bytes"),
+        )
+        .collect()
+    }
+    for s in range(tiny_index.n_segments):
+        m = json.load(open(tiny_index.paths.manifest(s)))
+        assert got.get(s, (0, 0)) == (m["postings_emitted"], m["bytes_compressed"])
+
+
+def test_resume_skips_completed_segments(spark, corpus_df, tmp_path):
+    """Kill-and-restart: delete one manifest, rebuild with resume=True —
+    only that segment is rebuilt, and the result equals a fresh build."""
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus_df, root, n_segments=4, block_size=16,
+                segment_groups=4, build_id="first")
+    idx = InvertedIndex.open(spark, root)
+    before = idx.postings().orderBy("segment", "term").toPandas()
+
+    os.remove(idx.paths.manifest(2))
+    build_index(spark, corpus_df, root, n_segments=4, block_size=16,
+                segment_groups=4, build_id="second", resume=True)
+    # untouched segments keep their original lineage; segment 2 was rebuilt
+    for s in range(4):
+        m = json.load(open(idx.paths.manifest(s)))
+        assert m["build_id"] == ("second" if s == 2 else "first")
+    after = InvertedIndex.open(spark, root).postings().orderBy("segment", "term").toPandas()
+    assert before.equals(after)
+
+
+def test_build_is_deterministic(spark, corpus_df, tmp_path, tiny_index):
+    """Same corpus + params → byte-identical postings regardless of
+    partitioning (doc_ids derive from url, never row order)."""
+    root = str(tmp_path / "idx2")
+    build_index(
+        spark, corpus_df.repartition(7), root, n_segments=4, block_size=16
+    )
+    a = (
+        tiny_index.postings()
+        .select("segment", "term", "df_seg", "cf_seg", F.md5(F.col("doc_blob")).alias("h"))
+        .orderBy("segment", "term")
+        .toPandas()
+    )
+    b = (
+        InvertedIndex.open(spark, root)
+        .postings()
+        .select("segment", "term", "df_seg", "cf_seg", F.md5(F.col("doc_blob")).alias("h"))
+        .orderBy("segment", "term")
+        .toPandas()
+    )
+    assert a.equals(b)
+
+
+def test_compression_is_effective(tiny_index):
+    """varbyte+delta postings must be far smaller than raw 8-byte docIDs —
+    the space-consciousness the reference is all about (bits/char report,
+    utils/build_index.c:66-68)."""
+    n_postings = tiny_index.postings().agg(F.sum("df_seg")).first()[0]
+    # segment-dense docIDs → ~1-2 bytes/gap + ~1 byte/tf
+    assert tiny_index.index_size_bytes() < 4 * n_postings
