@@ -1,38 +1,695 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator of the engine (SURVEY.md §2 or a
+training-data-pipeline op); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+run side-by-side at sf=0.01.  All floating-point outputs are integer-scaled
+(floor(x·10^4) or round-half-up) and rankings order by (round(score,6),
+id) so sub-ulp libm differences between engines can't flip a hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from full_text_index_spark.build import build_index  # noqa: E402
+from full_text_index_spark.functions import dedup as D  # noqa: E402
+from full_text_index_spark.functions import multimodal as MM  # noqa: E402
+from full_text_index_spark.functions import similarity as S  # noqa: E402
+from full_text_index_spark.functions import textstats as TS  # noqa: E402
+from full_text_index_spark.index import InvertedIndex  # noqa: E402
+from full_text_index_spark.query import bm25_topk, term_count, term_locate  # noqa: E402
+from full_text_index_spark.tokenizer import tokens_col, tokens_sql  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fixed workloads (the genpatterns analog: deterministic, corpus-aware)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["join"]),
+    (1, ["spark"]),
+    (2, ["dup"]),
+    (3, ["data", "window"]),
+    (4, ["hash", "merge"]),
+    (5, ["customer", "query", "fast"]),
+    (6, ["absentterm"]),
+    (7, ["dup", "stream"]),
+    (8, ["the", "a", "value"]),
+    (9, ["zzzmissing", "join"]),
+    (10, ["join", "join"]),  # duplicate term → set semantics
+]
+PROBE_TERMS = ["join", "dup", "absentterm", "the", "customer"]
+LOCATE_TERMS = ["dup", "vector"]
+DISPLAY_TERMS = ["dup", "spark", "filter"]
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+N_SEGMENTS = 8
+K1, B = 1.2, 0.75
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = os.path.normpath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".index_cache",
+        os.path.basename(key) or "default",
+    )
+    if not os.path.exists(os.path.join(cache_root, "meta.json")):
+        docs = _documents(spark, sf_dir).withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        )
+        build_index(spark, docs, cache_root, n_segments=N_SEGMENTS, block_size=64)
+    idx = InvertedIndex.open(spark, cache_root)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _score_i(col):
+    """floor(score·10^4 + 0.5) — integer-scaled double for hash-stable compare."""
+    return F.floor(col * 10_000 + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by the oracles
+# ---------------------------------------------------------------------------
+
+TOKS_CTE = f"""
+toks0 AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+toks AS (SELECT doc_id, term FROM toks0 WHERE term <> '')
+""".strip()
+
+BM25_BASE = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY term, doc_id),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+""".strip()
+
+
+def _bm25_values_sql() -> str:
+    rows = []
+    for qid, terms in BM25_QUERIES:
+        for t in sorted(set(terms)):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _bm25_sql(k: int = 10) -> str:
+    return f"""
+{BM25_BASE},
+q(qid, term) AS (VALUES {_bm25_values_sql()}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)) AS c
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_i
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+""".strip()
+
+
+TOKEN_HASH_SQL = TS.token_hash_sql("term")
+SHINGLE_HASH_SQL = TS.token_hash_sql("shingle")
+
+
+def _shingles_cte(k: int, src: str = "documents") -> str:
+    """CTE `shingles(doc_id, shingle)` — distinct k-token shingles per doc."""
+    return f"""
+tok_arrays AS (
+  SELECT doc_id,
+         list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM {src}
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - {k - 1}),
+                                 i -> array_to_string(l[i:i+{k - 1}], ' '))) AS shingle
+    FROM tok_arrays
+  )
+)
+""".strip()
+
+
+def _minhash_cte(src: str = "documents") -> str:
+    return f"""
+{_shingles_cte(D.MINHASH_SHINGLE, src)},
+sh_hash AS (
+  SELECT doc_id, {SHINGLE_HASH_SQL} AS h
+  FROM (SELECT doc_id, shingle AS shingle FROM shingles)
+),
+sigs AS (
+  SELECT doc_id, j.j AS j,
+         min(((2 * j.j + 1) * h + 7919 * j.j + 1) % {TS.HASH_P}) AS minhash
+  FROM sh_hash, (SELECT unnest(generate_series(0, {D.MINHASH_FUNCS - 1})) AS j) j
+  GROUP BY doc_id, j.j
+)
+""".strip()
+
+
+# dot product with specified fold order (matches Spark zip_with+aggregate)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+PLANE_W = (
+    "((i * 2654435761 + {j} * 40503 + 7) % "
+    f"{S.PLANE_MOD}) - {S.PLANE_SUB}"
+)
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int) -> str:
+    parts = []
+    for j in range(n_planes):
+        w = PLANE_W.format(j=j)
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, len({vec})), "
+            f"i -> {vec}[i]::DOUBLE * ({w})::DOUBLE)), (acc, v) -> acc + v)"
+        )
+        parts.append(f"(CASE WHEN {dot} > 0 THEN 1::BIGINT ELSE 0 END << {j})")
+    return " + ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid long, terms array<string>")
+    out = bm25_topk(idx, qdf, k=10, use_blockmax=True)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+        _score_i(F.col("score")).alias("score_i"),
+    ).orderBy("qid", "rank")
+
+
+def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return term_count(idx, PROBE_TERMS).orderBy("term")
+
+
+def _q_term_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return term_locate(idx, LOCATE_TERMS).orderBy("term", "doc_id")
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.vocab_stats(_documents(spark, sf_dir), top_n=20)
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_token_stats(_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct"
+    ).orderBy("doc_id")
+
+
+def _q_h0_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.h0_entropy(_documents(spark, sf_dir))
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), (F.col("doc_id") % 23 + 1).cast("int"), 40)
+            .alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-3 docs per term by (tf desc, doc_id asc), ±25 chars context
+    around the first occurrence — the `display` analog."""
+    idx = _index_for(spark, sf_dir)
+    from pyspark.sql import Window
+
+    loc = term_locate(idx, DISPLAY_TERMS)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = loc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return (
+        top.join(docs, "doc_id")
+        .withColumn("pos", F.instr(F.col("text"), F.col("term")))
+        .select(
+            "term", "rank", "doc_id", "tf",
+            F.substring(
+                F.col("text"),
+                F.greatest(F.col("pos") - 25, F.lit(1)).cast("int"),
+                F.length(F.col("term")) + 50,
+            ).alias("snippet"),
+        )
+        .orderBy("term", "rank")
+    )
+
+
+def _q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return (
+        idx.postings()
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df_seg").alias("n_postings"),
+            F.sum("cf_seg").alias("cf_sum"),
+        )
+        .select(F.col("segment").cast("long").alias("segment"),
+                "n_terms", "n_postings", "cf_sum")
+        .orderBy("segment")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), k=D.JACCARD_SHINGLE, min_jaccard=0.1
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 199 == 0)
+    return D.minhash_signatures(docs).orderBy("doc_id", "j")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_documents(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_stats(_embeddings(spark, sf_dir)).select(
+        F.col("label").cast("long").alias("label"), "n", "mean_norm_i"
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_score(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_fingerprint(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_token_stats(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.documents_as_payload(_documents(spark, sf_dir))
+    return MM.binary_features(docs).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block-max BM25 top-10 over the sf0.001 documents corpus."""
+    return _q_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": _q_bm25,
+        "term_count": _q_term_count,
+        "term_locate": _q_term_locate,
+        "vocab_stats": _q_vocab_stats,
+        "doc_stats": _q_doc_stats,
+        "h0_entropy": _q_h0_entropy,
+        "extract_intervals": _q_extract,
+        "display_snippets": _q_display,
+        "index_segment_stats": _q_segment_stats,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_signatures": _q_minhash_sig,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_stats": _q_embedding_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    probe_vals = ", ".join(f"('{t}')" for t in PROBE_TERMS)
+    locate_vals = ", ".join(f"('{t}')" for t in LOCATE_TERMS)
+    display_vals = ", ".join(f"('{t}')" for t in DISPLAY_TERMS)
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sw = ", ".join(f"'{s}'" for s in TS.STOPWORDS)
+
+    sqls: dict[str, str] = {}
+
+    sqls["bm25_topk"] = _bm25_sql()
+
+    sqls["term_count"] = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+agg AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term),
+probe(term) AS (VALUES {probe_vals})
+SELECT probe.term AS term, coalesce(agg.df, 0)::BIGINT AS df,
+       coalesce(agg.cf, 0)::BIGINT AS cf
+FROM probe LEFT JOIN agg ON agg.term = probe.term
+ORDER BY probe.term
+""".strip()
+
+    sqls["term_locate"] = f"""
+WITH {TOKS_CTE},
+probe(term) AS (VALUES {locate_vals})
+SELECT toks.term AS term, toks.doc_id, count(*)::BIGINT AS tf
+FROM toks JOIN probe ON probe.term = toks.term
+GROUP BY toks.term, toks.doc_id
+ORDER BY toks.term, doc_id
+""".strip()
+
+    sqls["vocab_stats"] = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY cf DESC, term LIMIT 20
+""".strip()
+
+    sqls["doc_stats"] = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*)::INT AS n_tokens, count(DISTINCT term)::INT AS n_distinct
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+    sqls["h0_entropy"] = f"""
+WITH {TOKS_CTE},
+freqs AS (SELECT term, count(*)::DOUBLE AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(cf) AS n FROM freqs)
+SELECT CAST(sum(cf) AS BIGINT) AS n_tokens, count(*)::BIGINT AS vocab,
+       CAST(floor(sum(-(cf / t.n) * log2(cf / t.n)) * 10000) AS BIGINT) AS h0_milli
+FROM freqs CROSS JOIN tot t
+""".strip()
+
+    sqls["extract_intervals"] = """
+SELECT doc_id, substr(text, CAST(doc_id % 23 + 1 AS INT), 40) AS snippet
+FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id
+""".strip()
+
+    sqls["display_snippets"] = f"""
+WITH {TOKS_CTE},
+probe(term) AS (VALUES {display_vals}),
+tf AS (
+  SELECT toks.term, toks.doc_id, count(*)::BIGINT AS tf
+  FROM toks JOIN probe ON probe.term = toks.term
+  GROUP BY toks.term, toks.doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
+  FROM tf
+)
+SELECT r.term, r.rank::INT AS rank, r.doc_id, r.tf,
+       substr(d.text,
+              greatest(strpos(d.text, r.term) - 25, 1),
+              length(r.term) + 50) AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 3 ORDER BY term, rank
+""".strip()
+
+    sqls["index_segment_stats"] = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT (doc_id % {N_SEGMENTS})::BIGINT AS segment,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_postings,
+       sum(tf)::BIGINT AS cf_sum
+FROM tf GROUP BY segment ORDER BY segment
+""".strip()
+
+    sqls["dedup_exact"] = """
+WITH keyed AS (SELECT doc_id, md5(text) AS content_key FROM documents),
+canon AS (
+  SELECT content_key, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
+  FROM keyed GROUP BY content_key
+)
+SELECT k.doc_id, k.content_key, c.canonical_id, c.group_size,
+       (k.doc_id <> c.canonical_id) AS is_duplicate
+FROM keyed k JOIN canon c ON c.content_key = k.content_key
+ORDER BY doc_id
+""".strip()
+
+    jk = D.JACCARD_SHINGLE
+    sqls["dedup_ngram_jaccard"] = f"""
+WITH {_shingles_cte(jk)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       (sa.n_sh + sb.n_sh - i.inter) AS union_sz,
+       CAST(floor(i.inter * 10000.0 / (sa.n_sh + sb.n_sh - i.inter)) AS BIGINT)
+         AS jaccard_i
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE floor(i.inter * 10000.0 / (sa.n_sh + sb.n_sh - i.inter)) >= 1000
+ORDER BY doc_a, doc_b
+""".strip()
+
+    sqls["dedup_minhash_signatures"] = f"""
+WITH docs_f AS (SELECT * FROM documents WHERE doc_id % 199 = 0),
+{_minhash_cte('docs_f')}
+SELECT doc_id, j::INT AS j, minhash::BIGINT AS minhash FROM sigs
+ORDER BY doc_id, j
+""".strip()
+
+    rpb = D.MINHASH_FUNCS // D.MINHASH_BANDS
+    sqls["dedup_minhash_pairs"] = f"""
+WITH {_minhash_cte()},
+bands AS (
+  SELECT doc_id, (j // {rpb})::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM sigs GROUP BY doc_id, (j // {rpb})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands_shared
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+""".strip()
+
+    sqls["dedup_simhash"] = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, {TOKEN_HASH_SQL} AS h FROM tf),
+bitted AS (
+  SELECT doc_id, b.b AS b, sum(tf * (2 * ((h >> b.b) & 1) - 1)) AS s
+  FROM th, (SELECT unnest(generate_series(0, 30)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bitted GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+    ann_base = f"""
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({ann_ids}))
+""".strip()
+    sqls["ann_cosine_topk"] = f"""
+WITH {ann_base},
+scored AS (
+  SELECT q.qid, e.vec_id,
+         CAST(floor(
+           {_dot_sql('e.embedding', 'q.qvec')}
+           / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}) * 10000
+         ) AS BIGINT) AS sim_i
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_i,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_i DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""".strip()
+
+    bucket_e = _lsh_bucket_sql("e.embedding", S.LSH_PLANES)
+    bucket_q = _lsh_bucket_sql("q.qvec", S.LSH_PLANES)
+    sqls["ann_lsh_topk"] = f"""
+WITH {ann_base},
+scored AS (
+  SELECT q.qid, e.vec_id,
+         CAST(floor(
+           {_dot_sql('e.embedding', 'q.qvec')}
+           / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}) * 10000
+         ) AS BIGINT) AS sim_i
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid AND ({bucket_e}) = ({bucket_q})
+),
+ranked AS (
+  SELECT qid, vec_id, sim_i,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_i DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""".strip()
+
+    sqls["embedding_stats"] = f"""
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+       CAST(floor(avg({_norm_sql('embedding')}) * 10000) AS BIGINT) AS mean_norm_i
+FROM embeddings GROUP BY label ORDER BY label
+""".strip()
+
+    sqls["quality_score"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+)
+SELECT doc_id,
+       len(l)::INT AS n_tokens,
+       CAST(floor(len(list_filter(l, t -> t IN ({sw}))) * 10000.0 / len(l)) AS BIGINT)
+         AS stop_ratio_i,
+       CAST(floor(len(list_distinct(l)) * 10000.0 / len(l)) AS BIGINT) AS uniq_ratio_i,
+       CAST(floor(list_reduce(list_prepend(0::BIGINT,
+              list_transform(l, t -> length(t)::BIGINT)), (a, b) -> a + b)
+            * 10000.0 / len(l)) AS BIGINT) AS mean_tok_len_i
+FROM tok_arrays WHERE len(l) > 0 ORDER BY doc_id
+""".strip()
+
+    langs = sorted(TS.LANG_MARKERS)
+    hits_exprs = []
+    for lang in langs:
+        ms = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang])
+        hits_exprs.append(
+            f"len(list_filter(l, t -> t IN ({ms})))::INT AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    nbest = " + ".join(
+        f"(CASE WHEN hits_{l} = {best} THEN 1 ELSE 0 END)" for l in langs
+    )
+    pred_cases = "\n".join(
+        f"WHEN hits_{l} = {best} AND ({nbest}) = 1 THEN '{l}'" for l in langs
+    )
+    sqls["lang_id"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, lang AS lang_true,
+         list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+),
+hits AS (SELECT doc_id, lang_true, {', '.join(hits_exprs)} FROM tok_arrays)
+SELECT doc_id, lang_true,
+       CASE WHEN {best} <= 0 THEN 'und'
+            {pred_cases}
+            ELSE 'und' END AS lang_pred
+FROM hits ORDER BY doc_id
+""".strip()
+
+    sqls["doc_fingerprint"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend({TS.HASH_SEED}::BIGINT,
+           list_transform(l, term -> {TOKEN_HASH_SQL})),
+         (acc, h) -> (acc * 31 + h) % {TS.HASH_P}
+       ) AS fingerprint
+FROM tok_arrays ORDER BY doc_id
+""".strip()
+
+    sqls["token_counts"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, length(text) AS n_chars_measured,
+         list_filter({tokens_sql('text')}, t -> t <> '') AS l,
+         regexp_split_to_array(text, '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id, len(l)::INT AS n_tokens, len(list_distinct(l))::INT AS n_distinct,
+       n_chars_measured::INT AS n_chars_measured, len(ws)::INT AS n_ws_tokens
+FROM tok_arrays ORDER BY doc_id
+""".strip()
+
+    sqls["multimodal_features"] = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       upper(hex(encode(substr(text, 1, 8)))) AS header_hex,
+       (list_reduce(list_prepend(0::BIGINT,
+          list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
+          (a, b) -> a + b) % 2147483647) AS checksum,
+       (list_reduce(list_prepend(0::BIGINT,
+          list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
+          (a, b) -> a + b) / octet_length(encode(text))::DOUBLE) AS fake_feature
+FROM documents ORDER BY doc_id
+""".strip()
+
+    return sqls

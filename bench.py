@@ -1,0 +1,111 @@
+"""Headline benchmark: index build + batched BM25 top-10 + pipeline ops.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cpus": N,
+   "build_docs_per_sec": ..., "bm25_queries_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+The N-vs-4N scaling evidence (BASELINE.md §c) is produced by
+tools/scaling_bench.py, which runs this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from full_text_index_spark.build import build_index  # noqa: E402
+from full_text_index_spark.functions import dedup as D  # noqa: E402
+from full_text_index_spark.functions import similarity as S  # noqa: E402
+from full_text_index_spark.functions import textstats as TS  # noqa: E402
+from full_text_index_spark.index import InvertedIndex  # noqa: E402
+from full_text_index_spark.query import bm25_topk  # noqa: E402
+from full_text_index_spark.session import get_spark  # noqa: E402
+
+BM25_BATCH_REPEATS = 20  # 11 distinct query shapes × 20 = 220 queries/batch
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("fti-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+    docs.cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- index build (docs/sec) -------------------------------------------
+    idx_root = tempfile.mkdtemp(prefix="fti_bench_idx_")
+    try:
+        timed(
+            "build_index",
+            lambda: build_index(
+                spark, docs, idx_root, n_segments=cpus, block_size=128
+            ),
+        )
+        idx = InvertedIndex.open(spark, idx_root)
+
+        # --- batched BM25 top-10 (queries/sec) ----------------------------
+        batch = [
+            (qid + rep * 1000, terms)
+            for rep in range(BM25_BATCH_REPEATS)
+            for qid, terms in entrymod.BM25_QUERIES
+        ]
+        n_queries = len(batch)
+        qdf = spark.createDataFrame(batch, "qid long, terms array<string>")
+        timed("bm25_batch", lambda: bm25_topk(idx, qdf, k=10).collect())
+
+        # --- pipeline operators -------------------------------------------
+        timed("dedup_exact", lambda: D.exact_dedup(docs).count())
+        timed("dedup_minhash_pairs", lambda: D.minhash_lsh_pairs(docs).count())
+        timed("dedup_simhash", lambda: D.simhash(docs).count())
+        timed("ann_cosine_topk",
+              lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10).collect())
+        timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())
+        timed("quality_score", lambda: TS.quality_score(docs).count())
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall sec (index build + 220-query "
+                          "BM25 batch + dedup/ANN/textstats ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "build_docs_per_sec": round(n_docs / timings["build_index"], 1),
+                "bm25_queries_per_sec": round(n_queries / timings["bm25_batch"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,20 +148,24 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     th = tf.withColumn("h", token_hash(F.col("term")))
+    # NB: F.shiftleft/shiftright require a literal shift — use the SQL forms,
+    # which accept column shift amounts
     bitted = th.select(
         "doc_id", "tf", "h",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
     ).withColumn(
         "w",
-        F.col("tf")
-        * (F.lit(2) * F.shiftright(F.col("h"), F.col("b")).bitwiseAND(F.lit(1)) - 1),
+        F.col("tf") * (F.lit(2) * F.expr("shiftright(h, b) & 1") - 1),
     )
     return (
         bitted.groupBy("doc_id", "b")
         .agg(F.sum("w").alias("s"))
         .withColumn("bit", (F.col("s") > 0).cast("long"))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("bit") * F.shiftleft(F.lit(1).cast("long"), F.col("b"))).alias("simhash"))
+        .agg(
+            F.sum(F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .alias("simhash")
+        )
     )
 
 
@@ -176,8 +180,7 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 31,
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_key",
-        F.shiftright(F.col("simhash"), F.col("band") * band_bits)
-        .bitwiseAND(F.lit((1 << band_bits) - 1)),
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -33,8 +33,11 @@ def token_hash(tok: Column) -> Column:
     DuckDB rendering (textstats_sql.token_hash_sql) folds the identical
     sequence, so hashes agree bit-for-bit across engines.
     """
+    # NB: Spark's split(tok, '') emits a trailing '' (Java split limit -1);
+    # DuckDB's regexp_split_to_array does not — filter for cross-engine parity
+    chars = F.filter(F.split(tok, ""), lambda c: c != F.lit(""))
     return F.aggregate(
-        F.split(tok, ""),
+        chars,
         F.lit(HASH_SEED).cast("long"),
         lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(HASH_P),
     )
