@@ -1,0 +1,171 @@
+"""Invariant tests for the pipeline operators (dedup / similarity /
+textstats / multimodal). Cross-engine value parity is covered by
+tools/parity_check.py; these check the algorithmic properties."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from full_text_index_spark.functions import dedup as D
+from full_text_index_spark.functions import multimodal as MM
+from full_text_index_spark.functions import similarity as S
+from full_text_index_spark.functions import textstats as TS
+from full_text_index_spark.tokenizer import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (4, "der hund und die katze sind nicht da", "de"),
+        (5, "le chat est une belle surprise et la vie", "fr"),
+        (6, "completely different words about spark engines", "en"),
+        (7, "zz yy xx ww vv uu tt ss", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in D.exact_dedup(docs).collect()}
+    assert out[2]["canonical_id"] == 1 and out[2]["is_duplicate"]
+    assert out[1]["canonical_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[1]["group_size"] == 2
+    assert out[3]["group_size"] == 1 and not out[3]["is_duplicate"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in
+             D.ngram_jaccard_pairs(docs, k=3, min_jaccard=0.2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["jaccard_i"] == 10_000  # identical
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)]["jaccard_i"] < 10_000
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs            # identical docs share every band
+    assert (1, 7) not in pairs        # disjoint docs share none
+
+
+def test_minhash_is_jaccard_estimator(spark):
+    """Minhash agreement rate ≈ true Jaccard (within a loose tolerance)."""
+    a = " ".join(f"w{i}" for i in range(60))
+    b = " ".join(f"w{i}" for i in range(30, 90))  # 3-shingle overlap ~ 28/86
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sig = D.minhash_signatures(docs, n_funcs=64).toPandas()
+    piv = sig.pivot(index="j", columns="doc_id", values="minhash")
+    agree = float((piv[1] == piv[2]).mean())
+    sh_a = {" ".join([f"w{i+k}" for k in range(3)]) for i in range(58)}
+    sh_b = {" ".join([f"w{i+k}" for k in range(3)]) for i in range(30, 88)}
+    true_j = len(sh_a & sh_b) / len(sh_a | sh_b)
+    assert abs(agree - true_j) < 0.25
+
+
+def test_simhash_hamming_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical docs → identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[7]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             D.simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    rows = [(i, vecs[i].tolist(), 0) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.cosine_topk(emb, [0], k=5).toPandas()
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expect = np.argsort(-np.floor(sims * 10_000))[:5]
+    assert out["vec_id"].tolist() == [int(i) for i in expect]
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist(), 0) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = S.cosine_topk(emb, [3], k=200).toPandas()
+    lsh = S.lsh_cosine_topk(emb, [3], k=200, n_planes=4).toPandas()
+    # LSH candidates are a subset, with identical sims for shared vec_ids
+    merged = lsh.merge(brute, on="vec_id", suffixes=("_l", "_b"))
+    assert len(lsh) <= len(brute) and len(lsh) > 0
+    assert (merged["sim_i_l"] == merged["sim_i_b"]).all()
+
+
+def test_lang_id_accuracy(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "de" and out[5] == "fr"
+    assert out[7] == "und"  # no markers
+
+
+def test_fingerprint_order_sensitivity(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TS.doc_fingerprint(docs).collect()}
+    assert fp[1] == fp[3] and fp[1] != fp[2]
+
+
+def test_h0_entropy_uniform(spark):
+    """Uniform 4-token corpus → exactly 2 bits."""
+    docs = spark.createDataFrame([(1, "a b c d a b c d")], "doc_id long, text string")
+    row = TS.h0_entropy(docs).first()
+    assert row["n_tokens"] == 8 and row["vocab"] == 4
+    assert row["h0_milli"] == 20_000
+
+
+def test_quality_score_values(spark):
+    docs = spark.createDataFrame([(1, "the the xyz")], "doc_id long, text string")
+    r = TS.quality_score(docs).first()
+    assert r["n_tokens"] == 3
+    assert r["stop_ratio_i"] == int(2 * 10_000 / 3)
+    assert r["uniq_ratio_i"] == int(2 * 10_000 / 3)
+    assert r["mean_tok_len_i"] == 3_0000  # (3+3+3)/3 = 3.0 → 30000
+
+
+def test_multimodal_features(spark, docs):
+    feats = {r["doc_id"]: r for r in
+             MM.binary_features(MM.documents_as_payload(docs)).collect()}
+    text1 = "the quick brown fox jumps over the lazy dog"
+    assert feats[1]["n_bytes"] == len(text1.encode())
+    assert feats[1]["header_hex"] == text1.encode()[:8].hex().upper()
+    assert feats[1]["checksum"] == sum(text1.encode()) % 2_147_483_647
+    assert math.isclose(
+        feats[1]["fake_feature"], sum(text1.encode()) / len(text1.encode())
+    )
+
+
+def test_decode_payload_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"\x89PNG")
+
+
+def test_token_hash_matches_python_reference():
+    """The Spark fold must equal the straightforward Python rendering."""
+    def py_hash(tok: str) -> int:
+        acc = TS.HASH_SEED
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % TS.HASH_P
+        return acc
+
+    from full_text_index_spark.session import get_spark
+
+    spark = get_spark("fti-tests", cpus=8, shuffle_partitions=8)
+    toks = ["a", "join", "zz9", "w123456789"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {r["t"]: r["h"] for r in
+           df.select("t", TS.token_hash(F.col("t")).alias("h")).collect()}
+    assert got == {t: py_hash(t) for t in toks}
