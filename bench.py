@@ -33,7 +33,28 @@ from full_text_index_spark.index import InvertedIndex  # noqa: E402
 from full_text_index_spark.query import bm25_topk  # noqa: E402
 from full_text_index_spark.session import get_spark  # noqa: E402
 
-BM25_BATCH_REPEATS = 20  # 11 distinct query shapes × 20 = 220 queries/batch
+N_BM25_QUERIES = 220  # distinct 1-3 term queries sampled from the vocabulary
+
+
+def _query_batch(spark, docs):
+    """Deterministic distinct query batch: terms drawn from the corpus
+    vocabulary (genpatterns analog — guaranteed hits), mixed lengths."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    vocab = sorted(
+        r["term"]
+        for r in docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term").count().orderBy(F.desc("count")).limit(64).collect()
+    )
+    batch, qid = [], 0
+    v = len(vocab)
+    while len(batch) < N_BM25_QUERIES:
+        i = (qid * 7) % v
+        n_terms = 1 + qid % 3
+        terms = [vocab[(i + 13 * t) % v] for t in range(n_terms)]
+        batch.append((qid, sorted(set(terms))))
+        qid += 1
+    return spark.createDataFrame(batch, "qid long, terms array<string>")
 
 
 def main() -> None:
@@ -68,13 +89,8 @@ def main() -> None:
         idx = InvertedIndex.open(spark, idx_root)
 
         # --- batched BM25 top-10 (queries/sec) ----------------------------
-        batch = [
-            (qid + rep * 1000, terms)
-            for rep in range(BM25_BATCH_REPEATS)
-            for qid, terms in entrymod.BM25_QUERIES
-        ]
-        n_queries = len(batch)
-        qdf = spark.createDataFrame(batch, "qid long, terms array<string>")
+        qdf = _query_batch(spark, docs)
+        n_queries = qdf.count()
         timed("bm25_batch", lambda: bm25_topk(idx, qdf, k=10).collect())
 
         # --- pipeline operators -------------------------------------------

@@ -51,9 +51,9 @@ BLOCK_SIZE_DEFAULT = 128
 
 POSTINGS_SCHEMA = (
     "segment int, term string, df_seg long, cf_seg long, "
-    "doc_blob binary, tf_blob binary, "
+    "doc_blob binary, tf_blob binary, doc_bytes int, tf_bytes int, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
-    "block_max_impact array<double>, max_impact double"
+    "block_max_tf array<int>, block_min_dl array<int>, max_tf int, min_dl int"
 )
 
 
@@ -100,13 +100,14 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     if len(pdf) == 0:
         return pd.DataFrame(
             columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
+                     "doc_bytes", "tf_bytes",
                      "block_last", "block_doc_off", "block_tf_off",
-                     "block_max_impact", "max_impact"]
+                     "block_max_tf", "block_min_dl", "max_tf", "min_dl"]
         )
     seg = pdf["segment"].to_numpy()
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)
     tf = pdf["tf"].to_numpy(dtype=np.int64)
-    impact = pdf["impact"].to_numpy(dtype=np.float64)
+    dl = pdf["doclen"].to_numpy(dtype=np.int64)
     term = pdf["term"].to_numpy()
 
     change = np.empty(len(pdf), dtype=bool)
@@ -143,20 +144,26 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         block_last = doc[b_end - 1]
         block_doc_off = (doc_start[b_idx] - doc_start[s]).astype(np.int32)
         block_tf_off = (tf_start[b_idx] - tf_start[s]).astype(np.int32)
-        bmax = np.maximum.reduceat(impact[s:e], b_idx - s)
+        # raw per-block bounds; impact bounds are derived at QUERY time with
+        # the then-current avgdl (BM25 impact is monotone: up in tf, down in
+        # dl), so incremental appends that shift avgdl stay admissible
+        b_max_tf = np.maximum.reduceat(tf[s:e], b_idx - s).astype(np.int32)
+        b_min_dl = np.minimum.reduceat(dl[s:e], b_idx - s).astype(np.int32)
         rows.append(
             (
                 int(seg[s]), term[s], int(n), int(tf[s:e].sum()),
-                blob_d, blob_t,
+                blob_d, blob_t, len(blob_d), len(blob_t),
                 block_last.tolist(), block_doc_off.tolist(), block_tf_off.tolist(),
-                bmax.tolist(), float(bmax.max()),
+                b_max_tf.tolist(), b_min_dl.tolist(),
+                int(b_max_tf.max()), int(b_min_dl.min()),
             )
         )
     return pd.DataFrame(
         rows,
         columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
+                 "doc_bytes", "tf_bytes",
                  "block_last", "block_doc_off", "block_tf_off",
-                 "block_max_impact", "max_impact"],
+                 "block_max_tf", "block_min_dl", "max_tf", "min_dl"],
     )
 
 
@@ -278,7 +285,7 @@ def build_index(
     meta = {
         "build_id": build_id, "n_docs": int(n_docs), "avgdl": avgdl,
         "n_segments": n_segments, "block_size": block_size, "k1": k1, "b": b,
-        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v1",
+        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v2",
     }
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -298,19 +305,16 @@ def build_index(
             .groupBy("segment", "term", "doc_id")
             .agg(F.count("*").alias("tf"))
         )
-        tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id").withColumn(
-            "impact",
-            F.col("tf").cast("double")
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))),
-        )
+        tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id")
         packed = (
             tfn.repartition(sp, "segment", "term")
             .sortWithinPartitions("segment", "term", "doc_id")
-            .select("segment", "term", "doc_id", "tf", "impact")
+            .select("segment", "term", "doc_id", "tf", "doclen")
             .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
         )
         packed.write.mode("overwrite").partitionBy("segment").parquet(paths.postings)
-        # per-segment lineage + metrics manifests (north_rule resumability)
+        # per-segment lineage + metrics manifests (north_rule resumability);
+        # metadata-only aggregation over the freshly written partitions
         metrics = (
             spark.read.parquet(paths.postings)
             .where(F.col("segment").isin([int(s) for s in todo]))
@@ -318,8 +322,8 @@ def build_index(
             .agg(
                 F.count("*").alias("n_terms"),
                 F.sum("df_seg").alias("n_postings"),
-                F.sum(F.octet_length("doc_blob")).alias("doc_bytes"),
-                F.sum(F.octet_length("tf_blob")).alias("tf_bytes"),
+                F.sum("doc_bytes").alias("doc_bytes"),
+                F.sum("tf_bytes").alias("tf_bytes"),
             )
             .collect()
         )
@@ -344,7 +348,8 @@ def build_index(
         .agg(
             F.sum("df_seg").alias("df"),
             F.sum("cf_seg").alias("cf"),
-            F.max("max_impact").alias("max_impact"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
         )
         .write.mode("overwrite")
         .parquet(paths.term_stats)

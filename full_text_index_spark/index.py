@@ -37,7 +37,8 @@ class InvertedIndex:
         return self.spark.read.parquet(self.paths.postings)
 
     def term_stats(self) -> DataFrame:
-        """(term, df, cf, max_impact) + derived idf — vocab-sized."""
+        """(term, df, cf, max_tf, min_dl) + derived idf and an admissible
+        max_impact bound under the CURRENT avgdl — vocab-sized."""
         ts = self.spark.read.parquet(self.paths.term_stats)
         n = float(self.n_docs)
         return ts.withColumn(
@@ -46,6 +47,15 @@ class InvertedIndex:
                 F.lit(1.0)
                 + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             ),
+        ).withColumn("max_impact", self.impact_bound(F.col("max_tf"), F.col("min_dl")))
+
+    def impact_bound(self, tf_col, dl_col):
+        """Admissible upper bound of tf/(tf+norm(dl)) given current avgdl
+        (impact is monotone increasing in tf, decreasing in dl)."""
+        t = tf_col.cast("double")
+        return t / (
+            t
+            + self.k1 * (1.0 - self.b + self.b * dl_col.cast("double") / self.avgdl)
         )
 
     def doc_stats(self) -> DataFrame:
@@ -55,12 +65,7 @@ class InvertedIndex:
         """`index_size` analog (reference: utils/interface.h:70)."""
         row = (
             self.postings()
-            .agg(
-                (
-                    F.sum(F.octet_length("doc_blob"))
-                    + F.sum(F.octet_length("tf_blob"))
-                ).alias("sz")
-            )
+            .agg((F.sum("doc_bytes") + F.sum("tf_bytes")).alias("sz"))
             .first()
         )
         return int(row["sz"] or 0)

@@ -99,11 +99,25 @@ def bm25_topk(
         )
         return _rank_topk(scored, k)
 
-    # block-max MaxScore path: postings cogrouped with segment doc lengths
-    qp = matched.join(F.broadcast(qterms), "term").select(
-        "segment", "qid", "term", "idf", "df_seg",
-        "doc_blob", "tf_blob", "block_last", "block_doc_off", "block_tf_off",
-        "block_max_impact", "max_impact",
+    # block-max MaxScore path: postings cogrouped with segment doc lengths.
+    # Impact bounds are derived HERE (JVM zip_with) from the raw per-block
+    # (max_tf, min_dl) so they are admissible under the current avgdl even
+    # after incremental appends shifted it.
+    # rid: unique per posting ROW (a term may own several rows — one per
+    # generation after incremental appends); it keys the kernel decode cache,
+    # assigned BEFORE the qid join so duplicates share it across queries
+    qp = (
+        matched.withColumn("rid", F.monotonically_increasing_id())
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "segment", "qid", "term", "rid", "idf", "df_seg",
+            "doc_blob", "tf_blob", "block_last", "block_doc_off", "block_tf_off",
+            F.zip_with(
+                "block_max_tf", "block_min_dl",
+                lambda t, d: index.impact_bound(t, d),
+            ).alias("block_max_impact"),
+            index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
+        )
     )
     ds = index.doc_stats().select("segment", "doc_id", "doclen")
     kernel = _make_maxscore_kernel(k1=k1, b=b, avgdl=avgdl, k=k)
@@ -166,6 +180,21 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
             pos = np.searchsorted(dl_docs, docs)
             return k1 * (1.0 - b + b * dl_vals[pos] / avgdl)
 
+        # decode + per-posting contribution once per TERM, shared across every
+        # query in the batch that touches it (a query batch usually repeats
+        # terms; the decode and the float math are query-independent)
+        row_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def full_decode(row) -> tuple[np.ndarray, np.ndarray]:
+            hit = row_cache.get(row.rid)
+            if hit is None:
+                docs = decode_gaps(row.doc_blob)
+                tfs = varbyte_decode(row.tf_blob).astype(np.float64)
+                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
+                hit = (docs, contrib)
+                row_cache[row.rid] = hit
+            return hit
+
         out_q, out_d, out_s = [], [], []
         for qid, grp in left.groupby("qid", sort=False):
             idf = grp["idf"].to_numpy(dtype=np.float64)
@@ -180,9 +209,21 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
             theta = -np.inf
             for i, row in enumerate(rows.itertuples(index=False)):
                 essential = suffix[i] >= theta - _EPS
-                if essential:
-                    docs = decode_gaps(row.doc_blob)
-                    tfs = varbyte_decode(row.tf_blob).astype(np.float64)
+                if essential or row.rid in row_cache:
+                    docs, contrib = full_decode(row)
+                    if not essential:
+                        # already decoded for another query: plain lookup of
+                        # surviving candidates beats block-targeted decode
+                        keep = acc_scores + suffix[i] >= theta - _EPS
+                        cand = acc_docs[keep]
+                        if len(cand) == 0:
+                            break
+                        pos = np.searchsorted(docs, cand)
+                        pos = pos[pos < len(docs)]
+                        hit = np.unique(pos[np.isin(docs[pos], cand)])
+                        docs, contrib = docs[hit], contrib[hit]
+                        if len(docs) == 0:
+                            continue
                 else:
                     # candidates that can still reach θ
                     keep = acc_scores + suffix[i] >= theta - _EPS
@@ -195,7 +236,7 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
                     )
                     if len(docs) == 0:
                         continue
-                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
+                    contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
                 acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, contrib)
                 if len(acc_scores) >= k:
                     theta = np.partition(acc_scores, len(acc_scores) - k)[

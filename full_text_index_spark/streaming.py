@@ -1,0 +1,162 @@
+"""Incremental index ingest via Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.5: no streaming), but its
+build/save/load split implies an append workflow: index new text without
+rebuilding the old.  Here that becomes a Structured Streaming job whose
+micro-batches append **generation-disjoint postings** to the same index:
+
+* each micro-batch's documents get doc_ids in a disjoint generation range
+  (``generation << GEN_SHIFT``), so a (segment, term) may own several posting
+  rows — one per generation — which the query side already handles (rows are
+  independent sorted runs; scores just accumulate);
+* global stats (n_docs, avgdl, term df) are refreshed from the tables after
+  each batch — a vocab-sized aggregation;
+* exactly-once: Structured Streaming checkpointing replays a failed batch,
+  and the generation manifest makes the append idempotent (a replayed batch
+  overwrites its own generation's rows via dynamic partition overwrite).
+
+This trades a little BM25 staleness *within* a batch (idf reflects all docs
+only after the refresh) for append-only ingest — the standard
+segment-generation design of incremental search indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_text_index_spark.build import (
+    IndexPaths,
+    K1_DEFAULT,
+    B_DEFAULT,
+    BLOCK_SIZE_DEFAULT,
+    POSTINGS_SCHEMA,
+    _pack_map_in_pandas,
+    prepare_corpus,
+)
+from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX, tokens_col
+
+GEN_SHIFT = 44  # doc_id = (generation << 44) | dense-id-within-generation
+
+
+def append_generation(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    generation: int,
+    *,
+    n_segments: int = 8,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> None:
+    """Append one generation of documents to the index at ``out_dir``.
+
+    Idempotent per generation: replays overwrite the same (gen, segment)
+    parquet partitions and manifest.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifest_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    base = generation << GEN_SHIFT
+    docs = prepare_corpus(docs)
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base)).withColumn(
+        "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
+    ).withColumn("generation", F.lit(generation))
+
+    toks = docs.select(
+        "doc_id", "segment", "generation", "url",
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    doc_stats = toks.groupBy("doc_id", "segment", "generation", "url").agg(
+        F.count("*").alias("doclen")
+    )
+    doc_stats.write.mode("overwrite").partitionBy("generation").parquet(
+        paths.doc_stats
+    )
+
+    # norms need a current avgdl — refresh from everything appended so far
+    ds_all = spark.read.parquet(paths.doc_stats)
+    n_docs, sum_dl = ds_all.agg(F.count("*"), F.sum("doclen")).first()
+    avgdl = float(sum_dl) / float(n_docs)
+
+    tf = toks.groupBy("segment", "generation", "term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    tfn = tf.join(ds_all.select("doc_id", "doclen"), "doc_id")
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed = (
+        tfn.repartition(sp, "segment", "term")
+        .sortWithinPartitions("segment", "term", "doc_id")
+        .select("segment", "term", "doc_id", "tf", "doclen")
+        .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
+        .withColumn("generation", F.lit(generation))
+    )
+    packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(
+        paths.postings
+    )
+
+    # refresh global stats (vocab-sized agg) + meta
+    postings = spark.read.parquet(paths.postings)
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df_seg").alias("df"),
+            F.sum("cf_seg").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(paths.term_stats)
+    )
+    meta = {
+        "build_id": f"stream-gen-{generation}", "n_docs": int(n_docs),
+        "avgdl": avgdl, "n_segments": n_segments, "block_size": block_size,
+        "k1": k1, "b": b, "tokenizer": TOKEN_SPLIT_REGEX,
+        "format": "vbgap-blockmax-v2", "generations": generation + 1,
+    }
+    with open(paths.meta, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(
+        os.path.join(paths.manifest_dir, f"generation_{generation:05d}.json"), "w"
+    ) as fh:
+        json.dump(
+            {"generation": generation, "n_docs_total": int(n_docs),
+             "completed_at": time.time()}, fh,
+        )
+
+
+def stream_build(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_segments: int = 8,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+):
+    """Start a Structured Streaming query that ingests ``stream`` (a
+    streaming DataFrame of corpus rows) into the index via foreachBatch.
+
+    Use ``trigger(availableNow=True)`` semantics by calling
+    ``q.processAllAvailable()`` in tests; checkpointing makes batch replay
+    idempotent together with the per-generation overwrite."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_generation(
+            spark, batch_df, out_dir, int(epoch_id),
+            n_segments=n_segments, block_size=block_size,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,88 @@
+"""Streaming incremental ingest: two generations appended via Structured
+Streaming must answer BM25 queries over the union corpus, rank-identical to
+the brute-force oracle on that union."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from full_text_index_spark.corpus import CORPUS_SCHEMA, generate_corpus_pdf
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.oracle import bm25_oracle
+from full_text_index_spark.query import bm25_topk
+from full_text_index_spark.streaming import append_generation, stream_build
+
+
+@pytest.fixture(scope="module")
+def two_gen_corpus():
+    a = generate_corpus_pdf(120, seed=42)
+    b = generate_corpus_pdf(120, seed=99)
+    b["url"] = b["url"].str.replace("/page/", "/late/", regex=False)
+    return a, b
+
+
+def _assert_matches_oracle(idx, corpus_pdf, queries):
+    spark = idx.spark
+    ds = idx.doc_stats().select("url", "doc_id").toPandas()
+    docs = corpus_pdf.merge(ds, on="url")
+    assert len(docs) == len(corpus_pdf)  # every doc made it into the index
+    golden = bm25_oracle(docs, queries, k=10)
+    qdf = spark.createDataFrame(queries, "qid long, terms array<string>")
+    got = (
+        bm25_topk(idx, qdf, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], golden["score"], rtol=1e-9)
+
+
+# head-of-Zipf vocabulary terms (corpus._vocab: "bababa0", "cebaba1", ...)
+QUERIES = [(0, ["bababa0"]), (1, ["cebaba1", "dibaba2"]), (2, ["singletonterm0"])]
+
+
+def test_append_generations_match_union_oracle(spark, two_gen_corpus, tmp_path):
+    a, b = two_gen_corpus
+    root = str(tmp_path / "sidx")
+    append_generation(spark, spark.createDataFrame(a, CORPUS_SCHEMA), root, 0,
+                      n_segments=4, block_size=16)
+    idx0 = InvertedIndex.open(spark, root)
+    _assert_matches_oracle(idx0, a, QUERIES)
+
+    append_generation(spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+                      n_segments=4, block_size=16)
+    idx1 = InvertedIndex.open(spark, root)
+    assert idx1.n_docs == len(a) + len(b)
+    import pandas as pd
+
+    union = pd.concat([a, b], ignore_index=True)
+    _assert_matches_oracle(idx1, union, QUERIES)
+
+
+def test_append_is_idempotent(spark, two_gen_corpus, tmp_path):
+    a, _ = two_gen_corpus
+    root = str(tmp_path / "sidx2")
+    df = spark.createDataFrame(a, CORPUS_SCHEMA)
+    append_generation(spark, df, root, 0, n_segments=4, block_size=16)
+    n1 = InvertedIndex.open(spark, root).postings().count()
+    append_generation(spark, df, root, 0, n_segments=4, block_size=16)  # replay
+    idx = InvertedIndex.open(spark, root)
+    assert idx.postings().count() == n1
+    assert idx.n_docs == len(a)
+
+
+def test_stream_build_end_to_end(spark, two_gen_corpus, tmp_path):
+    a, _ = two_gen_corpus
+    src = str(tmp_path / "in")
+    spark.createDataFrame(a, CORPUS_SCHEMA).write.parquet(src)
+    root = str(tmp_path / "sidx3")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = stream_build(spark, stream, root, str(tmp_path / "ckpt"), n_segments=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = InvertedIndex.open(spark, root)
+    _assert_matches_oracle(idx, a, QUERIES)
