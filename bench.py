@@ -60,11 +60,21 @@ def _query_batch(spark, docs):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_CORPUS_DIR: an (url, text, …) parquet corpus to bench the
+    # engine on instead of the sf documents table — used by scaling_bench,
+    # which needs a compute-dominated corpus (FIXTURES.md bench tier) for a
+    # meaningful N-vs-4N measurement
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
     spark = get_spark("fti-bench", cpus=cpus, shuffle_partitions=cpus)
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
-        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
-    )
+    if corpus_dir:
+        docs = spark.read.parquet(corpus_dir)
+    else:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        )
     docs.cache()
     n_docs = docs.count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -80,10 +90,13 @@ def main() -> None:
     # --- index build (docs/sec) -------------------------------------------
     idx_root = tempfile.mkdtemp(prefix="fti_bench_idx_")
     try:
+        # n_segments fixed across parallelism levels so the N-vs-4N scaling
+        # runs build the identical index layout
+        n_segments = int(os.environ.get("SPARK_GRAFT_SEGMENTS", "32"))
         timed(
             "build_index",
             lambda: build_index(
-                spark, docs, idx_root, n_segments=cpus, block_size=128
+                spark, docs, idx_root, n_segments=n_segments, block_size=128
             ),
         )
         idx = InvertedIndex.open(spark, idx_root)

@@ -51,8 +51,10 @@ BLOCK_SIZE_DEFAULT = 128
 
 POSTINGS_SCHEMA = (
     "segment int, term string, df_seg long, cf_seg long, "
-    "doc_blob binary, tf_blob binary, doc_bytes int, tf_bytes int, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "doc_bytes int, tf_bytes int, dl_bytes int, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
+    "block_dl_off array<int>, "
     "block_max_tf array<int>, block_min_dl array<int>, max_tf int, min_dl int"
 )
 
@@ -99,9 +101,10 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     per-run slicing; inner loops are numpy."""
     if len(pdf) == 0:
         return pd.DataFrame(
-            columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
-                     "doc_bytes", "tf_bytes",
-                     "block_last", "block_doc_off", "block_tf_off",
+            columns=["segment", "term", "df_seg", "cf_seg",
+                     "doc_blob", "tf_blob", "dl_blob",
+                     "doc_bytes", "tf_bytes", "dl_bytes",
+                     "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
                      "block_max_tf", "block_min_dl", "max_tf", "min_dl"]
         )
     seg = pdf["segment"].to_numpy()
@@ -128,22 +131,27 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
     doc_buf = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
     tf_buf = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
+    dl_buf = np.frombuffer(varbyte_encode(dl), dtype=np.uint8)
     doc_end = np.cumsum(_varbyte_sizes(gaps))
     tf_end = np.cumsum(_varbyte_sizes(tf))
+    dl_end = np.cumsum(_varbyte_sizes(dl))
     doc_start = doc_end - _varbyte_sizes(gaps)
     tf_start = tf_end - _varbyte_sizes(tf)
+    dl_start = dl_end - _varbyte_sizes(dl)
 
     rows = []
     for s, e in zip(run_starts, run_ends):
         n = e - s
         blob_d = doc_buf[doc_start[s]:doc_end[e - 1]].tobytes()
         blob_t = tf_buf[tf_start[s]:tf_end[e - 1]].tobytes()
+        blob_l = dl_buf[dl_start[s]:dl_end[e - 1]].tobytes()
         # block directory: entries every block_size postings
         b_idx = np.arange(s, e, block_size)
         b_end = np.minimum(b_idx + block_size, e)
         block_last = doc[b_end - 1]
         block_doc_off = (doc_start[b_idx] - doc_start[s]).astype(np.int32)
         block_tf_off = (tf_start[b_idx] - tf_start[s]).astype(np.int32)
+        block_dl_off = (dl_start[b_idx] - dl_start[s]).astype(np.int32)
         # raw per-block bounds; impact bounds are derived at QUERY time with
         # the then-current avgdl (BM25 impact is monotone: up in tf, down in
         # dl), so incremental appends that shift avgdl stay admissible
@@ -152,17 +160,19 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         rows.append(
             (
                 int(seg[s]), term[s], int(n), int(tf[s:e].sum()),
-                blob_d, blob_t, len(blob_d), len(blob_t),
+                blob_d, blob_t, blob_l, len(blob_d), len(blob_t), len(blob_l),
                 block_last.tolist(), block_doc_off.tolist(), block_tf_off.tolist(),
+                block_dl_off.tolist(),
                 b_max_tf.tolist(), b_min_dl.tolist(),
                 int(b_max_tf.max()), int(b_min_dl.min()),
             )
         )
     return pd.DataFrame(
         rows,
-        columns=["segment", "term", "df_seg", "cf_seg", "doc_blob", "tf_blob",
-                 "doc_bytes", "tf_bytes",
-                 "block_last", "block_doc_off", "block_tf_off",
+        columns=["segment", "term", "df_seg", "cf_seg",
+                 "doc_blob", "tf_blob", "dl_blob",
+                 "doc_bytes", "tf_bytes", "dl_bytes",
+                 "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
                  "block_max_tf", "block_min_dl", "max_tf", "min_dl"],
     )
 
@@ -285,7 +295,7 @@ def build_index(
     meta = {
         "build_id": build_id, "n_docs": int(n_docs), "avgdl": avgdl,
         "n_segments": n_segments, "block_size": block_size, "k1": k1, "b": b,
-        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v2",
+        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v3",
     }
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)

@@ -140,6 +140,40 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def generate_queries(
+    corpus_pdf: pd.DataFrame, n: int = 20, seed: int = 1234, k: int = 10
+) -> list[tuple[int, list[str]]]:
+    """genpatterns analog (reference: utils/genpatterns.c:196-218): sample
+    query terms FROM the corpus (guaranteed hits), term pick ∝ sqrt(df);
+    mix of 40% 1-term / 40% 2-term / 20% 3-term, plus the FIXTURES.md §2
+    edge queries appended (absent term, duplicated term, head term)."""
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    rng = np.random.default_rng(seed)
+    df_counts: dict[str, int] = {}
+    for t in corpus_pdf["text"]:
+        for tok in set(tokenize_py(t)):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    terms = sorted(df_counts)
+    w = np.sqrt([df_counts[t] for t in terms])
+    probs = w / w.sum()
+    sizes = [1] * (n * 2 // 5) + [2] * (n * 2 // 5)
+    sizes += [3] * (n - len(sizes))
+    queries = []
+    for qid, n_terms in enumerate(sizes):
+        pick = rng.choice(len(terms), size=n_terms, replace=False, p=probs)
+        queries.append((qid, [terms[i] for i in pick]))
+    head = max(df_counts, key=df_counts.get)
+    base = len(queries)
+    queries += [
+        (base, ["absentterm"]),
+        (base + 1, [head]),
+        (base + 2, [head, head]),
+        (base + 3, [head, "absentterm"]),
+    ]
+    return queries
+
+
 def doc_id_from_url(url_col) -> F.Column:
     """Deterministic non-negative docID from url (never ordinal — stable
     under repartitioning; SURVEY.md §7 hard part (e))."""

@@ -84,11 +84,11 @@ def bm25_topk(
 
     if not use_blockmax:
         # exact path: vectorized decode → JVM join + agg + window (no Python
-        # scoring); keeps Catalyst in charge of the whole relational tail.
+        # scoring); postings are self-contained (doclen stream packed in),
+        # so no doc_stats join — nothing big ever shuffles.
         decoded = _decode_postings(matched)
         scored = (
             decoded.join(F.broadcast(qterms), "term")
-            .join(index.doc_stats().select("doc_id", "doclen"), "doc_id")
             .withColumn(
                 "contrib",
                 F.col("idf") * (k1 + 1.0) * F.col("tf")
@@ -111,7 +111,8 @@ def bm25_topk(
         .join(F.broadcast(qterms), "term")
         .select(
             "segment", "qid", "term", "rid", "idf", "df_seg",
-            "doc_blob", "tf_blob", "block_last", "block_doc_off", "block_tf_off",
+            "doc_blob", "tf_blob", "dl_blob",
+            "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
             F.zip_with(
                 "block_max_tf", "block_min_dl",
                 lambda t, d: index.impact_bound(t, d),
@@ -119,9 +120,8 @@ def bm25_topk(
             index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
         )
     )
-    ds = index.doc_stats().select("segment", "doc_id", "doclen")
     kernel = _make_maxscore_kernel(k1=k1, b=b, avgdl=avgdl, k=k)
-    seg_topk = qp.groupBy("segment").cogroup(ds.groupBy("segment")).applyInPandas(
+    seg_topk = qp.groupBy("segment").applyInPandas(
         kernel, schema="qid long, doc_id long, score double"
     )
     return _rank_topk(seg_topk, k)
@@ -136,26 +136,30 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
             outs = []
             for row in pdf.itertuples(index=False):
                 docs = decode_gaps(row.doc_blob)
-                tfs = varbyte_decode(row.tf_blob)
                 outs.append(
                     pd.DataFrame(
                         {
                             "segment": np.full(len(docs), row.segment, dtype=np.int32),
                             "term": row.term,
                             "doc_id": docs,
-                            "tf": tfs,
+                            "tf": varbyte_decode(row.tf_blob),
+                            "doclen": varbyte_decode(row.dl_blob),
                         }
                     )
                 )
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
-                else pd.DataFrame(columns=["segment", "term", "doc_id", "tf"])
+                else pd.DataFrame(
+                    columns=["segment", "term", "doc_id", "tf", "doclen"]
+                )
             )
 
     return postings.select(
-        "segment", "term", "doc_blob", "tf_blob"
-    ).mapInPandas(decode, schema="segment int, term string, doc_id long, tf long")
+        "segment", "term", "doc_blob", "tf_blob", "dl_blob"
+    ).mapInPandas(
+        decode, schema="segment int, term string, doc_id long, tf long, doclen long"
+    )
 
 
 def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
@@ -168,21 +172,18 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
     contain a candidate AND whose block-max can still matter.
     """
 
-    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def norm_of(dls: np.ndarray) -> np.ndarray:
+        return k1 * (1.0 - b + b * dls / avgdl)
+
+    def kernel(left: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
             return pd.DataFrame(columns=["qid", "doc_id", "score"])
-        dl_docs = right["doc_id"].to_numpy(dtype=np.int64)
-        dl_order = np.argsort(dl_docs, kind="stable")
-        dl_docs = dl_docs[dl_order]
-        dl_vals = right["doclen"].to_numpy(dtype=np.float64)[dl_order]
 
-        def norms_for(docs: np.ndarray) -> np.ndarray:
-            pos = np.searchsorted(dl_docs, docs)
-            return k1 * (1.0 - b + b * dl_vals[pos] / avgdl)
-
-        # decode + per-posting contribution once per TERM, shared across every
-        # query in the batch that touches it (a query batch usually repeats
-        # terms; the decode and the float math are query-independent)
+        # decode + per-posting contribution once per posting ROW, shared
+        # across every query in the batch that touches it (a query batch
+        # usually repeats terms; the decode and float math are
+        # query-independent). Postings are self-contained: the doclen
+        # stream is packed alongside tf, so no doc-stats lookup.
         row_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
         def full_decode(row) -> tuple[np.ndarray, np.ndarray]:
@@ -190,7 +191,8 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
             if hit is None:
                 docs = decode_gaps(row.doc_blob)
                 tfs = varbyte_decode(row.tf_blob).astype(np.float64)
-                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
+                dls = varbyte_decode(row.dl_blob).astype(np.float64)
+                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norm_of(dls))
                 hit = (docs, contrib)
                 row_cache[row.rid] = hit
             return hit
@@ -230,13 +232,13 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
                     cand = acc_docs[keep]
                     if len(cand) == 0:
                         break
-                    docs, tfs = _lookup_blocks(
+                    docs, tfs, dls = _lookup_blocks(
                         row, cand, acc_scores[keep], row.idf, (k1 + 1.0),
                         theta, suffix[i + 1],
                     )
                     if len(docs) == 0:
                         continue
-                    contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norms_for(docs))
+                    contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norm_of(dls))
                 acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, contrib)
                 if len(acc_scores) >= k:
                     theta = np.partition(acc_scores, len(acc_scores) - k)[
@@ -275,13 +277,16 @@ def _merge_acc(acc_docs, acc_scores, docs, contrib):
 def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
                    idf: float, k1p1: float, theta: float, rest: float):
     """Decode only the posting blocks of ``row`` that contain a candidate
-    docID and whose block-max contribution could still matter for it."""
+    docID and whose block-max contribution could still matter for it.
+    Returns (docs, tfs, doclens) of the candidate hits."""
     block_last = np.asarray(row.block_last, dtype=np.int64)
     block_off = np.asarray(row.block_doc_off, dtype=np.int64)
     block_max = np.asarray(row.block_max_impact, dtype=np.float64)
     blob = np.frombuffer(row.doc_blob, dtype=np.uint8)
     tf_blob = np.frombuffer(row.tf_blob, dtype=np.uint8)
+    dl_blob = np.frombuffer(row.dl_blob, dtype=np.uint8)
     tf_off = np.asarray(row.block_tf_off, dtype=np.int64)
+    dl_off = np.asarray(row.block_dl_off, dtype=np.int64)
 
     cand_blk = np.searchsorted(block_last, cand, side="left")
     in_range = cand_blk < len(block_last)
@@ -293,7 +298,7 @@ def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
         >= theta - _EPS
     )
     blk = np.unique(cb[viable])
-    docs_out, tfs_out = [], []
+    docs_out, tfs_out, dls_out = [], [], []
     for bi in blk:
         lo = block_off[bi]
         hi = block_off[bi + 1] if bi + 1 < len(block_off) else len(blob)
@@ -302,15 +307,21 @@ def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
         tlo = tf_off[bi]
         thi = tf_off[bi + 1] if bi + 1 < len(tf_off) else len(tf_blob)
         tfs = varbyte_decode(tf_blob[tlo:thi]).astype(np.float64)
+        llo = dl_off[bi]
+        lhi = dl_off[bi + 1] if bi + 1 < len(dl_off) else len(dl_blob)
+        dls = varbyte_decode(dl_blob[llo:lhi]).astype(np.float64)
         pos = np.searchsorted(docs, cand)
         pos = pos[pos < len(docs)]
         hit = np.unique(pos[np.isin(docs[pos], cand)])
         if len(hit):
             docs_out.append(docs[hit])
             tfs_out.append(tfs[hit])
+            dls_out.append(dls[hit])
     if not docs_out:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    return np.concatenate(docs_out), np.concatenate(tfs_out)
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.float64))
+    return (np.concatenate(docs_out), np.concatenate(tfs_out),
+            np.concatenate(dls_out))
 
 
 # ---------------------------------------------------------------------------

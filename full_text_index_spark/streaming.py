@@ -118,7 +118,7 @@ def append_generation(
         "build_id": f"stream-gen-{generation}", "n_docs": int(n_docs),
         "avgdl": avgdl, "n_segments": n_segments, "block_size": block_size,
         "k1": k1, "b": b, "tokenizer": TOKEN_SPLIT_REGEX,
-        "format": "vbgap-blockmax-v2", "generations": generation + 1,
+        "format": "vbgap-blockmax-v3", "generations": generation + 1,
     }
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)

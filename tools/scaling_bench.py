@@ -18,8 +18,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+N_BENCH_DOCS = 120_000  # FIXTURES.md bench tier: compute-dominated corpus
+
+
+def run_bench(sf_dir: str, cpus: int, corpus_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_CORPUS_DIR=corpus_dir,
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -28,12 +36,31 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return json.loads(line)
 
 
+def ensure_corpus(n_docs: int) -> str:
+    """Generate the deterministic bench corpus once (seeded, distributed)."""
+    out = os.path.join(REPO, ".bench_cache", f"corpus{n_docs}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    from full_text_index_spark.corpus import generate_corpus
+    from full_text_index_spark.session import get_spark
+
+    spark = get_spark("gen-bench-corpus", cpus=32, shuffle_partitions=32)
+    generate_corpus(spark, n_docs, seed=42, n_partitions=64).write.mode(
+        "overwrite"
+    ).parquet(out)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    r_lo = run_bench(sf_dir, lo)
-    r_hi = run_bench(sf_dir, hi)
+    n_docs = int(sys.argv[4]) if len(sys.argv) > 4 else N_BENCH_DOCS
+    sys.path.insert(0, REPO)
+    corpus_dir = ensure_corpus(n_docs)
+    r_lo = run_bench(sf_dir, lo, corpus_dir)
+    r_hi = run_bench(sf_dir, hi, corpus_dir)
 
     def eff(metric: str) -> tuple[float, float, float]:
         a, b = r_lo[metric], r_hi[metric]
@@ -47,9 +74,11 @@ def main() -> None:
     with open(path, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
-Same job, same input ({sf_dir}, {r_lo['n_docs']} docs), two parallelism
-levels (`local[{lo}]` vs `local[{hi}]`; the in-sandbox proxy for N vs 4N
-executors per the north_rule). Fresh JVM per level via subprocess.
+Same job, same input (deterministic seeded bench corpus, {r_lo['n_docs']}
+docs — the FIXTURES.md bench tier; embeddings ops from {sf_dir}), two
+parallelism levels (`local[{lo}]` vs `local[{hi}]`; the in-sandbox proxy for
+N vs 4N executors per the north_rule). Fresh JVM per level via subprocess;
+identical index layout (fixed segment count) at both levels.
 
 | workload | local[{lo}] | local[{hi}] | speedup | scaling efficiency (target ≥0.8·ideal is 1.0 at {hi//lo}×) |
 |---|---|---|---|---|
