@@ -253,6 +253,17 @@ def _q_h0_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.h0_entropy(_documents(spark, sf_dir))
 
 
+def _q_hk_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.hk_entropy(_documents(spark, sf_dir), k=1)
+
+
+SCAN_PATTERNS = ["dup", "spark", "row sca", "zzznotthere"]
+
+
+def _q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.scan_count(_documents(spark, sf_dir), SCAN_PATTERNS).orderBy("pattern")
+
+
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -378,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "doc_stats": _q_doc_stats,
         "h0_entropy": _q_h0_entropy,
+        "hk_entropy": _q_hk_entropy,
+        "scan_count": _q_scan_count,
         "extract_intervals": _q_extract,
         "display_snippets": _q_display,
         "index_segment_stats": _q_segment_stats,
@@ -451,6 +464,44 @@ tot AS (SELECT sum(cf) AS n FROM freqs)
 SELECT CAST(sum(cf) AS BIGINT) AS n_tokens, count(*)::BIGINT AS vocab,
        CAST(floor(sum(-(cf / t.n) * log2(cf / t.n)) * 10000) AS BIGINT) AS h0_milli
 FROM freqs CROSS JOIN tot t
+""".strip()
+
+    sqls["hk_entropy"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         i -> {{'ctx': array_to_string(l[i:i], ' '), 'nxt': l[i+1]}})) AS p
+  FROM tok_arrays
+),
+trans AS (SELECT p.ctx AS ctx, p.nxt AS nxt, count(*)::DOUBLE AS c
+          FROM pairs GROUP BY 1, 2),
+ctx_tot AS (SELECT ctx, sum(c) AS ct FROM trans GROUP BY ctx),
+tot AS (SELECT sum(c) AS n_trans, count(DISTINCT ctx) AS n_ctx FROM trans)
+SELECT 1::INT AS k,
+       CAST(t.n_trans AS BIGINT) AS n_transitions,
+       CAST(t.n_ctx AS BIGINT) AS n_contexts,
+       CAST(floor(sum(-(trans.c / t.n_trans) * log2(trans.c / ctx_tot.ct))
+                  * 10000) AS BIGINT) AS hk_milli
+FROM trans JOIN ctx_tot USING (ctx) CROSS JOIN tot t
+GROUP BY t.n_trans, t.n_ctx
+""".strip()
+
+    scan_vals = ", ".join(f"('{p}')" for p in SCAN_PATTERNS)
+    sqls["scan_count"] = f"""
+WITH probe(pattern) AS (VALUES {scan_vals}),
+occ AS (
+  SELECT probe.pattern AS pattern,
+         CAST((length(text) - length(replace(text, probe.pattern, '')))
+              / length(probe.pattern) AS BIGINT) AS occ
+  FROM documents CROSS JOIN probe
+)
+SELECT pattern,
+       sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_matching,
+       sum(occ)::BIGINT AS n_occurrences
+FROM occ GROUP BY pattern ORDER BY pattern
 """.strip()
 
     sqls["extract_intervals"] = """

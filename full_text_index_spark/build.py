@@ -263,12 +263,29 @@ def build_index(
     os.makedirs(paths.manifest_dir, exist_ok=True)
     build_id = build_id or f"build-{int(time.time())}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sp = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if "doc_id" not in corpus.columns:
+        # materialize assigned IDs ONCE — the rank-window would otherwise be
+        # recomputed by every downstream stage (and the docs table is needed
+        # for resume + display/extract anyway)
+        docs_path = os.path.join(out_dir, "docs")
+        if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
+            prepare_corpus(corpus).select("doc_id", "url", "text").repartition(
+                sp
+            ).write.mode("overwrite").parquet(docs_path)
+        corpus = spark.read.parquet(docs_path)
 
     # segment is ALWAYS pmod(doc_id, n_segments) — never trust an incoming
     # segment column, whose modulus may differ
-    docs = prepare_corpus(corpus).select("doc_id", "url", "text").withColumn(
+    docs = corpus.select("doc_id", "url", "text").withColumn(
         "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
     )
+    # decouple parallelism from the source's file-split count: a small or
+    # well-compressed corpus can arrive as a handful of splits, capping every
+    # downstream stage below the cluster's width
+    if docs.rdd.getNumPartitions() < sp:
+        docs = docs.repartition(sp)
 
     # ---- corpus statistics + doc_stats (one pass) -------------------------
     toks = docs.select(
@@ -301,7 +318,6 @@ def build_index(
         json.dump(meta, fh, indent=1)
 
     # ---- postings, segment-group at a time --------------------------------
-    sp = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     groups: list[list[int]] = [
         [s for s in range(n_segments) if s % segment_groups == g]
         for g in range(segment_groups)

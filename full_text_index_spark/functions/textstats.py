@@ -83,6 +83,73 @@ def h0_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+def hk_entropy(docs: DataFrame, k: int = 1) -> DataFrame:
+    """Empirical k-th order token entropy (bits/token) — the `entrop2`/
+    `entrop3` analog (reference: utils/entrop.c:72-183): H_k = Σ_ctx p(ctx) ·
+    H0(next | ctx), contexts being k-grams of tokens.
+    One row: (k, n_transitions, n_contexts, hk_milli = floor(H_k·10^4))."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks) - k
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.struct(
+                        F.concat_ws(" ", F.slice(toks, i, k)).alias("ctx"),
+                        F.element_at(toks, i + k).alias("nxt"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+        ).alias("p")
+    ).select("p.ctx", "p.nxt")
+    trans = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
+    ctx_tot = trans.groupBy("ctx").agg(F.sum("c").alias("ct"))
+    tot = trans.agg(F.sum("c").alias("n_trans"), F.countDistinct("ctx").alias("n_ctx"))
+    p_cond = F.col("c") / F.col("ct")
+    return (
+        trans.join(ctx_tot, "ctx")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_trans").alias("n_transitions"),
+            F.first("n_ctx").alias("n_contexts"),
+            F.floor(
+                F.sum(-(F.col("c") / F.col("n_trans")) * F.log2(p_cond)) * 10_000
+            ).cast("long").alias("hk_milli"),
+        )
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_transitions", "n_contexts", "hk_milli",
+        )
+    )
+
+
+def scan_count(docs: DataFrame, patterns: list[str]) -> DataFrame:
+    """Direct substring-scan count — the reference's small-input fallback
+    that skips the index entirely (Boyer-Moore scan for texts < 50KB,
+    fm/fm_search.c:417-498; adaptive choice fm/fm_index.h:20-22).  Here the
+    adaptive strategy is: tiny corpus → scan the stored text column with a
+    whole-stage-codegen'd expression instead of touching postings.
+    Output: (pattern, n_docs_matching, n_occurrences)."""
+    pdf = docs.sparkSession.createDataFrame(
+        [(p,) for p in patterns], "pattern string"
+    )
+    joined = docs.crossJoin(F.broadcast(pdf))
+    occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.col("pattern"))))
+        / F.length("pattern")
+    ).cast("long")
+    return (
+        joined.select("pattern", occ.alias("occ"))
+        .groupBy("pattern")
+        .agg(
+            F.sum((F.col("occ") > 0).cast("long")).alias("n_docs_matching"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+    )
+
+
 def doc_token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token accounting: whitespace tokens, regex (BPE-ish) tokens,
     distinct terms, doclen — the token-counting operator."""

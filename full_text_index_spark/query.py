@@ -64,6 +64,7 @@ def bm25_topk(
     queries: DataFrame,
     k: int = 10,
     use_blockmax: bool = True,
+    prune_threshold: int = 4096,
 ) -> DataFrame:
     """Top-k BM25 (k1, b from the index meta) for ``queries(qid, terms)``.
 
@@ -120,7 +121,9 @@ def bm25_topk(
             index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
         )
     )
-    kernel = _make_maxscore_kernel(k1=k1, b=b, avgdl=avgdl, k=k)
+    kernel = _make_maxscore_kernel(
+        k1=k1, b=b, avgdl=avgdl, k=k, prune_threshold=prune_threshold
+    )
     seg_topk = qp.groupBy("segment").applyInPandas(
         kernel, schema="qid long, doc_id long, score double"
     )
@@ -162,14 +165,24 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
     )
 
 
-def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
-    """Per-segment block-max MaxScore scorer.
+def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
+                          prune_threshold: int = 4096):
+    """Per-segment scorer: bulk term-at-a-time for ordinary queries,
+    block-max MaxScore pruning for heavy ones.
 
-    For each query: process terms in descending max-score; once the summed
-    max-scores of the remaining terms cannot lift any unseen document past
-    the current k-th score (θ), remaining terms are *non-essential* — only
-    current candidates are looked up in them, decoding only the blocks that
-    contain a candidate AND whose block-max can still matter.
+    Bulk path: every query whose candidate volume (Σ df_seg of its terms in
+    this segment) is below ``prune_threshold`` is scored together in ONE
+    vectorized pass — decode each posting row once, concatenate
+    (qid, doc, contribution) triples across all such queries, hash-aggregate
+    in C (pandas groupby), top-k by one lexsort.  This amortizes all Python
+    overhead across the batch (the analog of the reference's batched locate
+    with shared Ψ-cycles, csa-sada/comparray4.c:816-877).
+
+    MaxScore path (heavy queries): process terms in descending max-score;
+    once the summed max-scores of the remaining terms cannot lift any unseen
+    document past the current k-th score (θ), remaining terms are
+    *non-essential* — only surviving candidates are looked up, decoding only
+    blocks that contain one AND whose block-max can still matter.
     """
 
     def norm_of(dls: np.ndarray) -> np.ndarray:
@@ -197,8 +210,48 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
                 row_cache[row.rid] = hit
             return hit
 
+        vol = left.groupby("qid", sort=False)["df_seg"].transform("sum")
+        bulk = left[vol <= prune_threshold]
+        heavy = left[vol > prune_threshold]
+
+        frames = []
+        if len(bulk):
+            qs, ds, cs = [], [], []
+            for row in bulk.itertuples(index=False):
+                docs, contrib = full_decode(row)
+                qs.append(np.full(len(docs), row.qid, dtype=np.int64))
+                ds.append(docs)
+                cs.append(contrib)
+            flat = pd.DataFrame(
+                {
+                    "qid": np.concatenate(qs),
+                    "doc_id": np.concatenate(ds),
+                    "c": np.concatenate(cs),
+                }
+            )
+            scored = flat.groupby(["qid", "doc_id"], sort=False, as_index=False)[
+                "c"
+            ].sum()
+            q = scored["qid"].to_numpy()
+            d = scored["doc_id"].to_numpy()
+            s = scored["c"].to_numpy()
+            order = np.lexsort((d, -np.round(s, RANK_ROUND), q))
+            q, d, s = q[order], d[order], s[order]
+            # first k rows of each qid run (qids are contiguous after sort)
+            change = np.empty(len(q), dtype=bool)
+            if len(q):
+                change[0] = True
+                change[1:] = q[1:] != q[:-1]
+                run_rank = np.arange(len(q)) - np.maximum.accumulate(
+                    np.where(change, np.arange(len(q)), 0)
+                )
+                keep = run_rank < k
+                frames.append(
+                    pd.DataFrame({"qid": q[keep], "doc_id": d[keep], "score": s[keep]})
+                )
+
         out_q, out_d, out_s = [], [], []
-        for qid, grp in left.groupby("qid", sort=False):
+        for qid, grp in heavy.groupby("qid", sort=False):
             idf = grp["idf"].to_numpy(dtype=np.float64)
             ms = idf * (k1 + 1.0) * grp["max_impact"].to_numpy(dtype=np.float64)
             order = np.argsort(-ms, kind="stable")
@@ -252,15 +305,19 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int):
             out_q.append(np.full(n, qid, dtype=np.int64))
             out_d.append(acc_docs[key])
             out_s.append(acc_scores[key])
-        if not out_q:
+        if out_q:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "doc_id": np.concatenate(out_d),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+            )
+        if not frames:
             return pd.DataFrame(columns=["qid", "doc_id", "score"])
-        return pd.DataFrame(
-            {
-                "qid": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "score": np.concatenate(out_s),
-            }
-        )
+        return pd.concat(frames, ignore_index=True)
 
     return kernel
 

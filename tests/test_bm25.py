@@ -81,6 +81,21 @@ def test_blockmax_equals_exact(tiny_index, query_set):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_maxscore_pruning_path_equals_exact(tiny_index, query_set):
+    """prune_threshold=0 forces EVERY query through the block-max MaxScore
+    pruning path — must still be rank-identical to the exact path."""
+    spark = tiny_index.spark
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in query_set], "qid long, terms array<string>"
+    )
+    a = (
+        bm25_topk(tiny_index, qdf, k=10, use_blockmax=True, prune_threshold=0)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    b = _run_engine(tiny_index, query_set, use_blockmax=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_absent_query_returns_empty(tiny_index):
     spark = tiny_index.spark
     qdf = spark.createDataFrame([(0, ["absentterm"])], "qid long, terms array<string>")
