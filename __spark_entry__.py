@@ -24,7 +24,13 @@ from full_text_index_spark.functions import multimodal as MM  # noqa: E402
 from full_text_index_spark.functions import similarity as S  # noqa: E402
 from full_text_index_spark.functions import textstats as TS  # noqa: E402
 from full_text_index_spark.index import InvertedIndex  # noqa: E402
-from full_text_index_spark.query import bm25_topk, term_count, term_locate  # noqa: E402
+from full_text_index_spark.query import (  # noqa: E402
+    bm25_topk,
+    boolean_and,
+    phrase_search,
+    term_count,
+    term_locate,
+)
 from full_text_index_spark.tokenizer import tokens_col, tokens_sql  # noqa: E402
 
 # ---------------------------------------------------------------------------
@@ -264,6 +270,28 @@ def _q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.scan_count(_documents(spark, sf_dir), SCAN_PATTERNS).orderBy("pattern")
 
 
+BOOL_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["join", "hash"]),
+    (1, ["dup", "stream", "row"]),
+    (2, ["spark", "absentterm"]),
+    (3, ["customer"]),
+]
+PHRASES = ["row scan", "the part", "dup dup", "slow fast table"]
+
+
+def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_QUERIES, "qid long, terms array<string>")
+    return boolean_and(idx, qdf).orderBy("qid", "doc_id")
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return phrase_search(idx, _documents(spark, sf_dir), PHRASES).orderBy(
+        "phrase", "doc_id"
+    )
+
+
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -391,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h0_entropy": _q_h0_entropy,
         "hk_entropy": _q_hk_entropy,
         "scan_count": _q_scan_count,
+        "boolean_and": _q_boolean_and,
+        "phrase_search": _q_phrase_search,
         "extract_intervals": _q_extract,
         "display_snippets": _q_display,
         "index_segment_stats": _q_segment_stats,
@@ -502,6 +532,39 @@ SELECT pattern,
        sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_matching,
        sum(occ)::BIGINT AS n_occurrences
 FROM occ GROUP BY pattern ORDER BY pattern
+""".strip()
+
+    bool_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BOOL_QUERIES for t in sorted(set(terms))
+    )
+    sqls["boolean_and"] = f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {bool_vals}),
+nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id),
+hits AS (
+  SELECT q.qid, tf.doc_id, count(*) AS n_hit, min(tf.tf) AS min_tf
+  FROM q JOIN tf ON tf.term = q.term GROUP BY q.qid, tf.doc_id
+)
+SELECT h.qid::BIGINT AS qid, h.doc_id, h.min_tf::BIGINT AS min_tf
+FROM hits h JOIN nq ON nq.qid = h.qid
+WHERE h.n_hit = nq.n_terms
+ORDER BY qid, doc_id
+""".strip()
+
+    phrase_vals = ", ".join(f"('{p}')" for p in PHRASES)
+    sqls["phrase_search"] = f"""
+WITH probe(phrase) AS (VALUES {phrase_vals}),
+occ AS (
+  SELECT probe.phrase AS phrase, d.doc_id,
+         CAST((length(' ' || d.text || ' ')
+               - length(replace(' ' || d.text || ' ',
+                                ' ' || probe.phrase || ' ', '')))
+              / length(' ' || probe.phrase || ' ') AS BIGINT) AS n_occurrences
+  FROM documents d CROSS JOIN probe
+)
+SELECT phrase, doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
+ORDER BY phrase, doc_id
 """.strip()
 
     sqls["extract_intervals"] = """

@@ -385,6 +385,59 @@ def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
 # count / locate / extract / display — the reference's four query classes
 # ---------------------------------------------------------------------------
 
+def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
+    """Conjunctive (AND) search: docs containing EVERY term of the query —
+    posting-list intersection (the reference's multi-term count semantics,
+    SURVEY.md §2.5 'set ops').  Input: queries(qid, terms); output
+    (qid, doc_id, min_tf) where min_tf is the smallest per-term tf (the
+    bound a phrase verifier needs)."""
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    n_terms = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    decoded = _decode_postings(
+        index.postings().where(F.col("term").isin(terms))
+    )
+    return (
+        decoded.join(qterms, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_hit"), F.min("tf").alias("min_tf"))
+        .join(n_terms, "qid")
+        .where(F.col("n_hit") == F.col("n_terms"))
+        .select("qid", "doc_id", "min_tf")
+    )
+
+
+def phrase_search(index: InvertedIndex, corpus: DataFrame,
+                  phrases: list[str]) -> DataFrame:
+    """Exact phrase count/locate, index-accelerated: candidate docs from the
+    conjunctive posting intersection of the phrase's terms, then verified by
+    a substring scan of only those docs' stored text — the two-phase
+    candidate+verify plan that replaces the reference's suffix-array
+    substring search (sau/SAu.c:253-344) for multi-token patterns.
+    Matches are token-anchored (phrase padded with token separators), so the
+    term-AND candidate set is a guaranteed superset of the verified matches.
+    Output: (phrase, doc_id, n_occurrences>0)."""
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    spark = index.spark
+    qrows = [(i, p, tokenize_py(p)) for i, p in enumerate(phrases)]
+    qdf = spark.createDataFrame(qrows, "qid long, phrase string, terms array<string>")
+    cand = boolean_and(index, qdf.select("qid", "terms"))
+    pt = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pp = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+    occ = (
+        (F.length(pt) - F.length(F.replace(pt, pp))) / F.length(pp)
+    ).cast("long")
+    return (
+        cand.join(F.broadcast(qdf.select("qid", "phrase")), "qid")
+        .join(corpus.select("doc_id", "text"), "doc_id")
+        .select("phrase", "doc_id", occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
 def term_count(index: InvertedIndex, terms: list[str]) -> DataFrame:
     """`count` analog (reference: utils/interface.h:59): occurrences (cf) and
     matching docs (df) per term; absent terms → df=0, cf=0."""
