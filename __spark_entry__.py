@@ -27,9 +27,11 @@ from full_text_index_spark.index import InvertedIndex  # noqa: E402
 from full_text_index_spark.query import (  # noqa: E402
     bm25_topk,
     boolean_and,
+    phrase_positions,
     phrase_search,
     term_count,
     term_locate,
+    term_positions,
 )
 from full_text_index_spark.tokenizer import tokens_col, tokens_sql  # noqa: E402
 
@@ -81,7 +83,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         docs = _documents(spark, sf_dir).withColumn(
             "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
         )
-        build_index(spark, docs, cache_root, n_segments=N_SEGMENTS, block_size=64)
+        build_index(spark, docs, cache_root, n_segments=N_SEGMENTS, block_size=64,
+                    positions=True)
     idx = InvertedIndex.open(spark, cache_root)
     _INDEX_CACHE[key] = idx
     return idx
@@ -292,6 +295,16 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return phrase_positions(idx, PHRASES).orderBy("phrase", "doc_id")
+
+
+def _q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return term_positions(idx, LOCATE_TERMS).orderBy("term", "doc_id", "tpos")
+
+
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -421,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_count": _q_scan_count,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
+        "phrase_positions": _q_phrase_positions,
+        "term_positions": _q_term_positions,
         "extract_intervals": _q_extract,
         "display_snippets": _q_display,
         "index_segment_stats": _q_segment_stats,
@@ -565,6 +580,48 @@ occ AS (
 )
 SELECT phrase, doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
 ORDER BY phrase, doc_id
+""".strip()
+
+    # positional oracles: zipped unnest gives (term, 1-based pos) per doc
+    tok_pos_cte = f"""
+tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+),
+tok_pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(generate_series(1, len(l))) AS pos
+  FROM tok_arrays
+)
+""".strip()
+
+    from full_text_index_spark.tokenizer import tokenize_py as _tok
+    phrase_selects = []
+    for ph in PHRASES:
+        terms = _tok(ph)
+        joins, conds = [], [f"s0.term = '{terms[0]}'"]
+        for i, t in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN tok_pos s{i} ON s{i}.doc_id = s0.doc_id "
+                f"AND s{i}.pos = s0.pos + {i} AND s{i}.term = '{t}'"
+            )
+        phrase_selects.append(f"""
+SELECT '{ph}' AS phrase, s0.doc_id, count(*)::BIGINT AS n_occurrences
+FROM tok_pos s0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+GROUP BY s0.doc_id
+""".strip())
+    sqls["phrase_positions"] = (
+        "WITH " + tok_pos_cte + "\n"
+        + "\nUNION ALL\n".join(phrase_selects)
+        + "\nORDER BY phrase, doc_id"
+    )
+
+    sqls["term_positions"] = f"""
+WITH {tok_pos_cte},
+probe(term) AS (VALUES {locate_vals})
+SELECT tok_pos.term AS term, tok_pos.doc_id, tok_pos.pos::BIGINT AS tpos
+FROM tok_pos JOIN probe ON probe.term = tok_pos.term
+ORDER BY term, doc_id, tpos
 """.strip()
 
     sqls["extract_intervals"] = """

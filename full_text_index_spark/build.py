@@ -51,12 +51,21 @@ BLOCK_SIZE_DEFAULT = 128
 
 POSTINGS_SCHEMA = (
     "segment int, term string, df_seg long, cf_seg long, "
-    "doc_blob binary, tf_blob binary, dl_blob binary, "
-    "doc_bytes int, tf_bytes int, dl_bytes int, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, pos_blob binary, "
+    "doc_bytes int, tf_bytes int, dl_bytes int, pos_bytes int, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
-    "block_dl_off array<int>, "
+    "block_dl_off array<int>, block_pos_off array<int>, "
     "block_max_tf array<int>, block_min_dl array<int>, max_tf int, min_dl int"
 )
+
+_PACK_COLUMNS = [
+    "segment", "term", "df_seg", "cf_seg",
+    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+    "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+    "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
+    "block_pos_off",
+    "block_max_tf", "block_min_dl", "max_tf", "min_dl",
+]
 
 
 @dataclass
@@ -100,13 +109,7 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     doc_id) — into compressed posting rows.  Batch-wide varbyte encode, then
     per-run slicing; inner loops are numpy."""
     if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=["segment", "term", "df_seg", "cf_seg",
-                     "doc_blob", "tf_blob", "dl_blob",
-                     "doc_bytes", "tf_bytes", "dl_bytes",
-                     "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
-                     "block_max_tf", "block_min_dl", "max_tf", "min_dl"]
-        )
+        return pd.DataFrame(columns=_PACK_COLUMNS)
     seg = pdf["segment"].to_numpy()
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)
     tf = pdf["tf"].to_numpy(dtype=np.int64)
@@ -129,6 +132,34 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     if gaps.min() <= 0:
         raise ValueError("postings not strictly sorted by (segment, term, doc_id)")
 
+    # optional positional stream: per posting, delta-gapped 1-based token
+    # positions (the reference's occurrence positions, utils/interface.h:66)
+    have_pos = "positions" in pdf.columns
+    if have_pos:
+        pos_lists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
+        plens = np.fromiter((len(x) for x in pos_lists), dtype=np.int64,
+                            count=len(pos_lists))
+        if not np.array_equal(plens, tf):
+            raise ValueError("positions length must equal tf")
+        flat = np.concatenate(pos_lists) if plens.sum() else np.empty(0, np.int64)
+        p_ends = np.cumsum(plens)
+        p_starts = p_ends - plens
+        pg = np.empty_like(flat)
+        if len(flat):
+            pg[0] = flat[0]
+            pg[1:] = flat[1:] - flat[:-1]
+            pg[p_starts[plens > 0]] = flat[p_starts[plens > 0]]
+            if pg.min() <= 0:
+                raise ValueError("positions must be strictly increasing, >= 1")
+        pos_buf = np.frombuffer(varbyte_encode(pg), dtype=np.uint8)
+        p_sizes = _varbyte_sizes(pg) if len(pg) else np.empty(0, np.int64)
+        flat_end = np.cumsum(p_sizes)
+        # per-POSTING byte extents of its position group
+        post_end = flat_end[p_ends - 1] if len(flat) else np.zeros(len(pdf), np.int64)
+        post_end = np.where(plens > 0, post_end, 0)
+        # carry forward for zero-length groups (can't occur: tf >= 1)
+        post_start = np.concatenate(([0], post_end[:-1]))
+
     doc_buf = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
     tf_buf = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
     dl_buf = np.frombuffer(varbyte_encode(dl), dtype=np.uint8)
@@ -145,6 +176,7 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         blob_d = doc_buf[doc_start[s]:doc_end[e - 1]].tobytes()
         blob_t = tf_buf[tf_start[s]:tf_end[e - 1]].tobytes()
         blob_l = dl_buf[dl_start[s]:dl_end[e - 1]].tobytes()
+        blob_p = pos_buf[post_start[s]:post_end[e - 1]].tobytes() if have_pos else b""
         # block directory: entries every block_size postings
         b_idx = np.arange(s, e, block_size)
         b_end = np.minimum(b_idx + block_size, e)
@@ -152,6 +184,10 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         block_doc_off = (doc_start[b_idx] - doc_start[s]).astype(np.int32)
         block_tf_off = (tf_start[b_idx] - tf_start[s]).astype(np.int32)
         block_dl_off = (dl_start[b_idx] - dl_start[s]).astype(np.int32)
+        block_pos_off = (
+            (post_start[b_idx] - post_start[s]).astype(np.int32)
+            if have_pos else np.zeros(len(b_idx), np.int32)
+        )
         # raw per-block bounds; impact bounds are derived at QUERY time with
         # the then-current avgdl (BM25 impact is monotone: up in tf, down in
         # dl), so incremental appends that shift avgdl stay admissible
@@ -160,21 +196,15 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         rows.append(
             (
                 int(seg[s]), term[s], int(n), int(tf[s:e].sum()),
-                blob_d, blob_t, blob_l, len(blob_d), len(blob_t), len(blob_l),
+                blob_d, blob_t, blob_l, blob_p,
+                len(blob_d), len(blob_t), len(blob_l), len(blob_p),
                 block_last.tolist(), block_doc_off.tolist(), block_tf_off.tolist(),
-                block_dl_off.tolist(),
+                block_dl_off.tolist(), block_pos_off.tolist(),
                 b_max_tf.tolist(), b_min_dl.tolist(),
                 int(b_max_tf.max()), int(b_min_dl.min()),
             )
         )
-    return pd.DataFrame(
-        rows,
-        columns=["segment", "term", "df_seg", "cf_seg",
-                 "doc_blob", "tf_blob", "dl_blob",
-                 "doc_bytes", "tf_bytes", "dl_bytes",
-                 "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
-                 "block_max_tf", "block_min_dl", "max_tf", "min_dl"],
-    )
+    return pd.DataFrame(rows, columns=_PACK_COLUMNS)
 
 
 def _pack_map_in_pandas(block_size: int):
@@ -252,12 +282,17 @@ def build_index(
     segment_groups: int = 1,
     build_id: str | None = None,
     shuffle_partitions: int | None = None,
+    positions: bool = False,
 ) -> IndexPaths:
     """Build (or resume) the inverted index for ``corpus`` under ``out_dir``.
 
     ``segment_groups`` > 1 splits the build into that many independent jobs
     (each covering a slice of segments); a killed build resumes by skipping
-    every segment whose manifest is already present.
+    every segment whose manifest is already present.  ``positions=True``
+    additionally packs a delta-gapped stream of 1-based token positions per
+    posting (the reference's occurrence positions, utils/interface.h:66),
+    enabling index-side positional phrase verification at ~1-2 extra
+    bytes/occurrence.
     """
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifest_dir, exist_ok=True)
@@ -289,8 +324,9 @@ def build_index(
 
     # ---- corpus statistics + doc_stats (one pass) -------------------------
     toks = docs.select(
-        "doc_id", "segment", "url", F.explode(tokens_col(F.col("text"))).alias("term")
-    )
+        "doc_id", "segment", "url",
+        F.posexplode(tokens_col(F.col("text"))).alias("tpos0", "term"),
+    ).withColumn("tpos", F.col("tpos0") + 1).drop("tpos0")
     doc_stats = toks.groupBy("doc_id", "segment", "url").agg(
         F.count("*").alias("doclen")
     )
@@ -313,6 +349,7 @@ def build_index(
         "build_id": build_id, "n_docs": int(n_docs), "avgdl": avgdl,
         "n_segments": n_segments, "block_size": block_size, "k1": k1, "b": b,
         "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v3",
+        "positions": positions,
     }
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -326,16 +363,21 @@ def build_index(
         todo = [s for s in group if not (resume and s in done)]
         if not todo:
             continue
+        aggs = [F.count("*").alias("tf")]
+        pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
+        if positions:
+            aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
+            pack_cols.append("positions")
         tf = (
             toks.where(F.col("segment").isin([int(s) for s in todo]))
             .groupBy("segment", "term", "doc_id")
-            .agg(F.count("*").alias("tf"))
+            .agg(*aggs)
         )
         tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id")
         packed = (
             tfn.repartition(sp, "segment", "term")
             .sortWithinPartitions("segment", "term", "doc_id")
-            .select("segment", "term", "doc_id", "tf", "doclen")
+            .select(*pack_cols)
             .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
         )
         packed.write.mode("overwrite").partitionBy("segment").parquet(paths.postings)

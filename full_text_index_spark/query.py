@@ -385,6 +385,81 @@ def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
 # count / locate / extract / display — the reference's four query classes
 # ---------------------------------------------------------------------------
 
+def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Positional `locate` (reference: utils/interface.h:66 — occurrence
+    positions): every (term, doc_id, tpos) with tpos the 1-based token
+    position, decoded from the positional stream (requires an index built
+    with positions=True)."""
+    if not index.meta.get("positions"):
+        raise ValueError("index was built without positions=True")
+
+    matched = index.postings().where(F.col("term").isin(list(terms)))
+
+    def decode(iterator):
+        for pdf in iterator:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                docs = decode_gaps(row.doc_blob)
+                tfs = varbyte_decode(row.tf_blob)
+                pg = varbyte_decode(row.pos_blob)
+                ends = np.cumsum(tfs)
+                cs = np.cumsum(pg)
+                base = np.concatenate(([0], cs[ends[:-1] - 1]))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": row.term,
+                            "doc_id": np.repeat(docs, tfs),
+                            "tpos": cs - np.repeat(base, tfs),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=["term", "doc_id", "tpos"])
+            )
+
+    return matched.select("term", "doc_blob", "tf_blob", "pos_blob").mapInPandas(
+        decode, schema="term string, doc_id long, tpos long"
+    )
+
+
+def phrase_positions(index: InvertedIndex, phrases: list[str]) -> DataFrame:
+    """Exact phrase occurrence counts verified INSIDE the index (no text
+    access): for phrase t0 t1 … tm, a match is a doc where each slot's
+    position list contains p, p+1, …, p+m — the positional-postings phrase
+    plan (slot-wise equi-joins on (doc_id, aligned position)).
+    Counts are OVERLAPPING occurrences ("x x x" contains "x x" twice) —
+    unlike phrase_search's non-overlapping substring-replace count.
+    Output: (phrase, doc_id, n_occurrences)."""
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    slots = {p: tokenize_py(p) for p in phrases}
+    all_terms = sorted({t for ts in slots.values() for t in ts})
+    tp = term_positions(index, all_terms)
+    outs = []
+    for phrase, terms in slots.items():
+        cur = (
+            tp.where(F.col("term") == terms[0])
+            .select("doc_id", F.col("tpos").alias("p0"))
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = tp.where(F.col("term") == t).select(
+                "doc_id", (F.col("tpos") - i).alias("p0")
+            )
+            cur = cur.join(nxt, ["doc_id", "p0"])
+        outs.append(
+            cur.groupBy("doc_id")
+            .agg(F.count("*").alias("n_occurrences"))
+            .select(F.lit(phrase).alias("phrase"), "doc_id", "n_occurrences")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
 def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     """Conjunctive (AND) search: docs containing EVERY term of the query —
     posting-list intersection (the reference's multi-term count semantics,
@@ -418,6 +493,8 @@ def phrase_search(index: InvertedIndex, corpus: DataFrame,
     substring search (sau/SAu.c:253-344) for multi-token patterns.
     Matches are token-anchored (phrase padded with token separators), so the
     term-AND candidate set is a guaranteed superset of the verified matches.
+    Counts are NON-overlapping (substring-replace counting); see
+    phrase_positions for overlapping positional counts.
     Output: (phrase, doc_id, n_occurrences>0)."""
     from full_text_index_spark.tokenizer import tokenize_py
 

@@ -1,0 +1,86 @@
+"""Positional postings: index-side phrase verification must agree with the
+text-scan phrase path and with a brute-force Python positional check."""
+
+from __future__ import annotations
+
+import pytest
+
+from full_text_index_spark.build import build_index, prepare_corpus
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.query import (
+    phrase_positions,
+    phrase_search,
+    term_positions,
+)
+from full_text_index_spark.tokenizer import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus_pdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posidx"))
+    corpus = prepare_corpus(spark.createDataFrame(tiny_corpus_pdf))
+    build_index(spark, corpus, root, n_segments=4, block_size=16, positions=True)
+    return InvertedIndex.open(spark, root)
+
+
+@pytest.fixture(scope="module")
+def corpus_with_ids(spark, tiny_corpus_pdf, pos_index):
+    ds = pos_index.doc_stats().select("url", "doc_id").toPandas()
+    return tiny_corpus_pdf.merge(ds, on="url")
+
+
+def test_term_positions_match_brute_force(pos_index, corpus_with_ids):
+    term = "bababa0"  # Zipf head of the synthetic vocabulary
+    expected = {}
+    for _, r in corpus_with_ids.iterrows():
+        pos = [i + 1 for i, t in enumerate(tokenize_py(r["text"])) if t == term]
+        if pos:
+            expected[r["doc_id"]] = pos
+    got: dict[int, list[int]] = {}
+    for row in term_positions(pos_index, [term]).collect():
+        got.setdefault(row["doc_id"], []).append(row["tpos"])
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == expected
+
+
+def test_phrase_positions_equals_text_scan(spark, pos_index, corpus_with_ids):
+    """The index-side positional phrase plan and the candidate+text-scan plan
+    must produce identical (doc, count) sets — two independent
+    implementations of the same semantics (the reference's differential
+    method, utils/compare.c)."""
+    # phrases built from actual corpus bigrams so hits exist
+    text0 = corpus_with_ids.iloc[0]["text"]
+    toks = tokenize_py(text0)
+    phrases = [
+        f"{toks[0]} {toks[1]}",
+        f"{toks[2]} {toks[3]} {toks[4]}",
+        "bababa0 bababa0",          # repeated-term phrase
+        "absentterm bababa0",       # no hits
+    ]
+    corpus = spark.createDataFrame(
+        corpus_with_ids[["doc_id", "url", "text"]]
+    )
+    a = {
+        (r["phrase"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_positions(pos_index, phrases).collect()
+    }
+    b = {
+        (r["phrase"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_search(pos_index, corpus, phrases).collect()
+    }
+    # same doc sets always; same counts except self-overlapping phrases,
+    # where positional counting is overlapping ("x x x" has two "x x") and
+    # the substring-replace scan is non-overlapping
+    assert set(a) == set(b)
+    overlapping = {"bababa0 bababa0"}
+    for key, n in a.items():
+        if key[0] in overlapping:
+            assert b[key] <= n
+        else:
+            assert b[key] == n
+    assert len(a) > 0
+
+
+def test_positions_require_positional_index(tiny_index):
+    with pytest.raises(ValueError):
+        term_positions(tiny_index, ["bababa0"])
