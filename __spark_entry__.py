@@ -390,6 +390,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_stats(_embeddings(spark, sf_dir)).select(
         F.col("label").cast("long").alias("label"), "n", "mean_norm_i"
@@ -446,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_stats": _q_embedding_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -764,6 +769,58 @@ scored AS (
          ) AS BIGINT) AS sim_i
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.qid AND ({bucket_e}) = ({bucket_q})
+),
+ranked AS (
+  SELECT qid, vec_id, sim_i,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_i DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""".strip()
+
+    nc, npb = S.IVF_N_CENTROIDS, S.IVF_NPROBE
+    csim = (
+        f"CAST(floor({_dot_sql('e.embedding', 'c.cvec')} "
+        f"/ ({_norm_sql('e.embedding')} * {_norm_sql('c.cvec')}) * 10000) AS BIGINT)"
+    )
+    qsim = (
+        f"CAST(floor({_dot_sql('l.embedding', 'q.qvec')} "
+        f"/ ({_norm_sql('l.embedding')} * {_norm_sql('q.qvec')}) * 10000) AS BIGINT)"
+    )
+    sqls["ann_ivf_topk"] = f"""
+WITH stats AS (
+  SELECT CAST(floor((max(vec_id) + 1) / {nc}.0) AS BIGINT) AS stride
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(e.vec_id / s.stride AS BIGINT) AS cent_id, e.embedding AS cvec
+  FROM embeddings e CROSS JOIN stats s
+  WHERE e.vec_id % s.stride = 0
+  ORDER BY e.vec_id LIMIT {nc}
+),
+assigned0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {csim} AS csim_i
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY csim_i DESC, cent_id ASC
+  ) AS crank
+  FROM assigned0
+),
+lists AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS qid, cent_id AS pcent FROM assigned
+  WHERE vec_id IN ({ann_ids}) AND crank <= {npb}
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({ann_ids})),
+scored AS (
+  SELECT q.qid, l.vec_id, {qsim} AS sim_i
+  FROM lists l JOIN probes p ON l.cent_id = p.pcent
+  JOIN q ON q.qid = p.qid
+  WHERE l.vec_id <> q.qid
 ),
 ranked AS (
   SELECT qid, vec_id, sim_i,

@@ -130,6 +130,91 @@ def lsh_cosine_topk(
     )
 
 
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest of
+    ``n_centroids`` deterministic centroids (every (max_id/n)-strided vector
+    serves as a centroid — a seeded-sample stand-in for a k-means pass, kept
+    deterministic so the DuckDB oracle reproduces it); a query probes its
+    ``nprobe`` closest centroids' inverted lists and re-ranks exactly.
+
+    Scale path: the N×M cross join becomes N×(M·nprobe/n_centroids); the
+    centroid table broadcasts; at 10^12 rows the list assignment is a
+    write-time partitioning (same role as the index's segments).
+    Output (qid, rank, vec_id, sim_i); approximate by construction, but
+    deterministic — oracle applies the identical plan.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    stride_row = embeddings.agg(
+        F.floor(
+            (F.max(id_col) + 1) / n_centroids
+        ).cast("long").alias("stride")
+    ).first()
+    stride = max(int(stride_row["stride"]), 1)
+    cents = (
+        embeddings.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.col(id_col) / stride).cast("long").alias("cent_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    sim_c = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("csim_i"), F.asc("cent_id")
+    )
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, vec_col, "cent_id",
+            F.floor(sim_c * 10_000).cast("long").alias("csim_i"),
+        )
+        .withColumn("crank", F.row_number().over(w_assign))
+    )
+    lists = assigned.where(F.col("crank") == 1).select(id_col, vec_col, "cent_id")
+    probes = (
+        assigned.where(F.col(id_col).isin(query_ids) & (F.col("crank") <= nprobe))
+        .select(F.col(id_col).alias("qid"), F.col("cent_id").alias("pcent"))
+    )
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        lists.join(F.broadcast(probes), lists["cent_id"] == probes["pcent"])
+        .join(F.broadcast(q), "qid")
+        .where(F.col(id_col) != F.col("qid"))
+    )
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = cand.select(
+        "qid", F.col(id_col).alias("vec_id"),
+        F.floor(sim * 10_000).cast("long").alias("sim_i"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_i"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "sim_i")
+    )
+
+
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding accounting: count + mean L2 norm (×10^4, floored).
     Output (label, n, mean_norm_i)."""
