@@ -680,10 +680,15 @@ ORDER BY doc_id
     jk = D.JACCARD_SHINGLE
     sqls["dedup_ngram_jaccard"] = f"""
 WITH {_shingles_cte(jk)},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
+capped AS (
+  SELECT shingle FROM shingles GROUP BY shingle
+  HAVING count(*) <= {D.JACCARD_MAX_DF}
+),
+sh_c AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_c GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-  FROM shingles a JOIN shingles b
+  FROM sh_c a JOIN sh_c b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -790,7 +795,7 @@ ORDER BY qid, rank
     )
     sqls["ann_ivf_topk"] = f"""
 WITH stats AS (
-  SELECT CAST(floor((max(vec_id) + 1) / {nc}.0) AS BIGINT) AS stride
+  SELECT greatest(CAST(floor((max(vec_id) + 1) / {nc}.0) AS BIGINT), 1) AS stride
   FROM embeddings
 ),
 cents AS (
@@ -907,16 +912,20 @@ SELECT doc_id, len(l)::INT AS n_tokens, len(list_distinct(l))::INT AS n_distinct
 FROM tok_arrays ORDER BY doc_id
 """.strip()
 
-    sqls["multimodal_features"] = """
+    # byte-exact (not codepoint) accounting: parse hex(encode(text)) two
+    # chars at a time so UTF-8 multi-byte text agrees with the engine's
+    # numpy byte view (ADVICE r01: the old ascii(c) form was ASCII-only)
+    byte_list = (
+        "list_transform(generate_series(0, octet_length(encode(text)) - 1), "
+        "i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT)"
+    )
+    byte_sum = f"list_reduce(list_prepend(0::BIGINT, {byte_list}), (a, b) -> a + b)"
+    sqls["multimodal_features"] = f"""
 SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
-       upper(hex(encode(substr(text, 1, 8)))) AS header_hex,
-       (list_reduce(list_prepend(0::BIGINT,
-          list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
-          (a, b) -> a + b) % 2147483647) AS checksum,
-       (list_reduce(list_prepend(0::BIGINT,
-          list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
-          (a, b) -> a + b) / octet_length(encode(text))::DOUBLE) AS fake_feature
+       substr(hex(encode(text)), 1, 16) AS header_hex,
+       ({byte_sum} % 2147483647) AS checksum,
+       ({byte_sum} / octet_length(encode(text))::DOUBLE) AS fake_feature
 FROM documents ORDER BY doc_id
 """.strip()
 

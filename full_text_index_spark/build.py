@@ -5,22 +5,29 @@ The Spark-first counterpart of the reference's ``build_index`` lifecycle
 ssa/SSA.cpp:218-241, fm/fm_build.c:138-156).  Where the reference suffix-sorts
 one in-memory byte string (ds/ds.c:73-129), we:
 
-1. tokenize (JVM expression) and explode to ``(doc_id, term)``;
+1. produce a *token stream* ``(doc_id, segment, term, tpos)`` — by default
+   lowercase alphanumeric tokens (JVM expression), pluggable so the character
+   k-gram substring index (substring.py) reuses the identical pipeline;
 2. hash documents into ``n_segments`` **segments** — the unit of build
    parallelism, query fan-out, and resumability.  A segment bounds every
    posting list's length, which is the distributed answer to head-term skew:
    a Zipf head term becomes ``n_segments`` independent bounded rows instead
    of one unbounded one (the role the reference's superbucket/bucket split
    plays for its occ tables, fm/fm_build.c:580-702);
-3. partial-aggregate term frequencies JVM-side (map-side combine is free);
+3. aggregate the stream ONCE into ``(segment, term, doc_id, tf[, positions])``
+   (map-side partial aggregation is free) and persist that aggregate; both
+   doc lengths and postings derive from it, so the corpus is tokenized
+   exactly once;
 4. shuffle once on ``(segment, term)``, sort runs within partitions, and pack
    each (segment, term) run into delta-gap + varbyte blobs with block-max
    skip metadata inside an Arrow-batched ``mapInPandas`` (all numpy, no
    per-row Python);
-5. write Iceberg-style parquet partitioned by segment with dynamic partition
-   overwrite, so re-running a failed build rewrites only missing segments —
-   per-segment manifests with lineage + metrics make the build resumable
-   (north_rule; the reference's closest analog is its save/load split,
+5. write Iceberg-style parquet partitioned by (generation, segment) —
+   generation 0 for batch builds, higher generations appended by
+   streaming.append_generation — with dynamic partition overwrite, so
+   re-running a failed build rewrites only missing segments; per-segment
+   manifests with lineage + metrics make the build resumable (north_rule;
+   the reference's closest analog is its save/load split,
    ssa/SSA.cpp:486-531).
 
 At 100 TB the same plan holds: one wide shuffle keyed by (segment, term),
@@ -40,6 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from full_text_index_spark.codec import varbyte_encode
 from full_text_index_spark.corpus import doc_id_from_url
@@ -48,6 +56,7 @@ from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX, tokens_col
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 BLOCK_SIZE_DEFAULT = 128
+FORMAT_VERSION = "vbgap-blockmax-v4"  # v4: (generation, segment) layout
 
 POSTINGS_SCHEMA = (
     "segment int, term string, df_seg long, cf_seg long, "
@@ -235,38 +244,87 @@ def _pack_map_in_pandas(block_size: int):
     return pack
 
 
-N_ID_BUCKETS = 1024  # constant, independent of n_segments
+# ID assignment: bucket count scales with corpus size so the rank-window's
+# parallelism is never capped by a constant (it only changes ID density,
+# which the delta-gap format tolerates; VERDICT r01 #9)
+MIN_ID_BUCKETS = 1024
+DOCS_PER_ID_BUCKET = 4096
 
 
-def prepare_corpus(corpus: DataFrame, n_segments: int | None = None) -> DataFrame:
+def prepare_corpus(corpus: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Ensure a deterministic, globally dense-ish ``doc_id`` column.
 
-    IDs are assigned as ``rank-of-url-hash-within-bucket · 1024 + bucket``
-    with ``bucket = hash(url) mod 1024``: the interleaving makes the ID set
-    dense in ~[0, n_docs + 1024] no matter how the index later partitions it,
-    so posting-list delta gaps stay 1-2 varbyte bytes (hash-space IDs would
-    make every gap ~9 bytes and void the compression — the same reason the
-    reference dictionary-remaps its alphabet before encoding,
-    fm/fm_build.c:450-491).  Ranks are over url-hash order, computed per
-    bucket in parallel, so IDs are deterministic for a given corpus and never
-    depend on row order (SURVEY.md §7 hard part (e)).
+    IDs are assigned as ``rank-of-url-hash-within-bucket · n_buckets +
+    bucket`` with ``bucket = hash(url) mod n_buckets``: the interleaving
+    makes the ID set dense in ~[0, n_docs + n_buckets] no matter how the
+    index later partitions it, so posting-list delta gaps stay 1-2 varbyte
+    bytes (hash-space IDs would make every gap ~9 bytes and void the
+    compression — the same reason the reference dictionary-remaps its
+    alphabet before encoding, fm/fm_build.c:450-491).  Ranks are over
+    url-hash order, computed per bucket in parallel, so IDs are deterministic
+    for a given corpus and never depend on row order (SURVEY.md §7(e)).
+
+    ``n_buckets`` defaults to a power of two targeting ~4096 docs per bucket
+    (floored at 1024), derived from one column-pruned count — at 10^12 docs
+    that is ~2^28 buckets, so per-task rank sorts stay bounded.
     """
     from pyspark.sql import Window
 
     if "doc_id" in corpus.columns:
         return corpus
+    if n_buckets is None:
+        n = corpus.select("url").count()
+        n_buckets = max(
+            MIN_ID_BUCKETS,
+            1 << int(np.ceil(np.log2(max(n // DOCS_PER_ID_BUCKET, 1)))),
+        )
     h = doc_id_from_url(F.col("url"))
     w = Window.partitionBy("bucket").orderBy("urlhash", "url")
     return (
         corpus.withColumn("urlhash", h)
-        .withColumn("bucket", F.pmod(F.col("urlhash"), F.lit(N_ID_BUCKETS)))
+        .withColumn("bucket", F.pmod(F.col("urlhash"), F.lit(n_buckets)))
         .withColumn(
             "doc_id",
-            (F.row_number().over(w).cast("long") - 1) * F.lit(N_ID_BUCKETS).cast("long")
+            (F.row_number().over(w).cast("long") - 1)
+            * F.lit(n_buckets).cast("long")
             + F.col("bucket"),
         )
         .drop("urlhash", "bucket")
     )
+
+
+def token_stream(docs: DataFrame) -> DataFrame:
+    """Default stream: lowercase alphanumeric tokens with 1-based positions.
+    ``docs`` must carry (doc_id, segment, text); output
+    (doc_id, segment, term, tpos)."""
+    return (
+        docs.select(
+            "doc_id", "segment",
+            F.posexplode(tokens_col(F.col("text"))).alias("tpos0", "term"),
+        )
+        .withColumn("tpos", F.col("tpos0") + 1)
+        .drop("tpos0")
+    )
+
+
+# immutable format parameters: resuming with different values would mislabel
+# the already-written segments (ADVICE r01)
+_IMMUTABLE_META = ("n_segments", "block_size", "tokenizer", "positions", "unit")
+
+
+def _validate_resume_meta(paths: IndexPaths, new_meta: dict) -> None:
+    if not os.path.exists(paths.meta):
+        return
+    with open(paths.meta) as fh:
+        old = json.load(fh)
+    for key in _IMMUTABLE_META:
+        if key in old and old[key] != new_meta[key]:
+            raise ValueError(
+                f"resume with mismatched immutable format parameter {key!r}: "
+                f"existing index has {old[key]!r}, caller passed "
+                f"{new_meta[key]!r} — rebuild with resume=False or match the "
+                "original parameters"
+            )
 
 
 def build_index(
@@ -283,6 +341,8 @@ def build_index(
     build_id: str | None = None,
     shuffle_partitions: int | None = None,
     positions: bool = False,
+    stream=None,
+    unit: str = "token",
 ) -> IndexPaths:
     """Build (or resume) the inverted index for ``corpus`` under ``out_dir``.
 
@@ -292,13 +352,16 @@ def build_index(
     additionally packs a delta-gapped stream of 1-based token positions per
     posting (the reference's occurrence positions, utils/interface.h:66),
     enabling index-side positional phrase verification at ~1-2 extra
-    bytes/occurrence.
+    bytes/occurrence.  ``stream`` overrides the token stream (substring.py
+    passes a character k-gram stream; ``unit`` labels it in the meta).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     build_id = build_id or f"build-{int(time.time())}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sp = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    stream = stream or token_stream
+    tokenizer_tag = TOKEN_SPLIT_REGEX if unit == "token" else unit
 
     if "doc_id" not in corpus.columns:
         # materialize assigned IDs ONCE — the rank-window would otherwise be
@@ -311,6 +374,15 @@ def build_index(
             ).write.mode("overwrite").parquet(docs_path)
         corpus = spark.read.parquet(docs_path)
 
+    meta = {
+        "build_id": build_id, "n_segments": n_segments,
+        "block_size": block_size, "k1": k1, "b": b,
+        "tokenizer": tokenizer_tag, "format": FORMAT_VERSION,
+        "positions": positions, "unit": unit,
+    }
+    if resume:
+        _validate_resume_meta(paths, meta)
+
     # segment is ALWAYS pmod(doc_id, n_segments) — never trust an incoming
     # segment column, whose modulus may differ
     docs = corpus.select("doc_id", "url", "text").withColumn(
@@ -322,65 +394,88 @@ def build_index(
     if docs.rdd.getNumPartitions() < sp:
         docs = docs.repartition(sp)
 
-    # ---- corpus statistics + doc_stats (one pass) -------------------------
-    toks = docs.select(
-        "doc_id", "segment", "url",
-        F.posexplode(tokens_col(F.col("text"))).alias("tpos0", "term"),
-    ).withColumn("tpos", F.col("tpos0") + 1).drop("tpos0")
-    doc_stats = toks.groupBy("doc_id", "segment", "url").agg(
-        F.count("*").alias("doclen")
-    )
     done = {
         int(f.split("_")[1].split(".")[0])
         for f in os.listdir(paths.manifest_dir)
         if f.startswith("segment_")
     }
+    if not resume:
+        done = set()
+    todo_all = [s for s in range(n_segments) if s not in done]
     stats_ready = os.path.exists(paths.meta) and os.path.exists(
         os.path.join(paths.doc_stats, "_SUCCESS")
     )
-    if not (resume and stats_ready):
-        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
+
+    # ---- single-pass stream aggregation -----------------------------------
+    # the corpus is tokenized ONCE: tf_all feeds both doc_stats (doclen =
+    # Σ tf per doc) and the postings pack (VERDICT r01 #3 — the build
+    # previously tokenized twice plus once per segment group)
+    aggs = [F.count("*").alias("tf")]
+    pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
+        pack_cols.append("positions")
+
+    need_stats = not (resume and stats_ready)
+    scope = docs if need_stats else docs.where(
+        F.col("segment").isin([int(s) for s in todo_all])
+    )
+    tf_all = None
+    if need_stats or todo_all:
+        tf_all = (
+            stream(scope)
+            .groupBy("segment", "term", "doc_id")
+            .agg(*aggs)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    if need_stats:
+        doc_stats = (
+            tf_all.groupBy("doc_id", "segment")
+            .agg(F.sum("tf").alias("doclen"))
+            .join(docs.select("doc_id", "url"), "doc_id")
+            .withColumn("generation", F.lit(0))
+        )
+        doc_stats.write.mode("overwrite").partitionBy("generation").parquet(
+            paths.doc_stats
+        )
     ds = spark.read.parquet(paths.doc_stats)
     n_docs, sum_dl = ds.agg(
         F.count("*").alias("n"), F.sum("doclen").alias("s")
     ).first()
     avgdl = float(sum_dl) / float(n_docs)
-    meta = {
-        "build_id": build_id, "n_docs": int(n_docs), "avgdl": avgdl,
-        "n_segments": n_segments, "block_size": block_size, "k1": k1, "b": b,
-        "tokenizer": TOKEN_SPLIT_REGEX, "format": "vbgap-blockmax-v3",
-        "positions": positions,
-    }
+    # corpus_bytes: the denominator of the reference's size report
+    # (index bytes as % of text, utils/build_index.c:66-68)
+    corpus_bytes = int(
+        docs.agg(F.sum(F.octet_length("text"))).first()[0] or 0
+    )
+    meta.update(
+        {"n_docs": int(n_docs), "avgdl": avgdl, "n_tokens": int(sum_dl),
+         "corpus_bytes": corpus_bytes}
+    )
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
 
     # ---- postings, segment-group at a time --------------------------------
     groups: list[list[int]] = [
-        [s for s in range(n_segments) if s % segment_groups == g]
+        [s for s in todo_all if s % segment_groups == g]
         for g in range(segment_groups)
     ]
-    for group in groups:
-        todo = [s for s in group if not (resume and s in done)]
+    for todo in groups:
         if not todo:
             continue
-        aggs = [F.count("*").alias("tf")]
-        pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
-        if positions:
-            aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
-            pack_cols.append("positions")
-        tf = (
-            toks.where(F.col("segment").isin([int(s) for s in todo]))
-            .groupBy("segment", "term", "doc_id")
-            .agg(*aggs)
-        )
+        tf = tf_all.where(F.col("segment").isin([int(s) for s in todo]))
         tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id")
         packed = (
             tfn.repartition(sp, "segment", "term")
             .sortWithinPartitions("segment", "term", "doc_id")
             .select(*pack_cols)
             .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
+            .withColumn("generation", F.lit(0))
         )
-        packed.write.mode("overwrite").partitionBy("segment").parquet(paths.postings)
+        packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(
+            paths.postings
+        )
         # per-segment lineage + metrics manifests (north_rule resumability);
         # metadata-only aggregation over the freshly written partitions
         metrics = (
@@ -390,8 +485,8 @@ def build_index(
             .agg(
                 F.count("*").alias("n_terms"),
                 F.sum("df_seg").alias("n_postings"),
-                F.sum("doc_bytes").alias("doc_bytes"),
-                F.sum("tf_bytes").alias("tf_bytes"),
+                (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")
+                 + F.sum("pos_bytes")).alias("all_bytes"),
             )
             .collect()
         )
@@ -403,11 +498,13 @@ def build_index(
                 "runs_merged": int(sp),
                 "n_terms": int(r["n_terms"]) if r else 0,
                 "postings_emitted": int(r["n_postings"]) if r else 0,
-                "bytes_compressed": int((r["doc_bytes"] + r["tf_bytes"]) if r else 0),
+                "bytes_compressed": int(r["all_bytes"]) if r else 0,
                 "completed_at": time.time(),
             }
             with open(paths.manifest(s), "w") as fh:
                 json.dump(manifest, fh)
+    if tf_all is not None:
+        tf_all.unpersist()
 
     # ---- global term stats (vocab-sized; one small agg over postings) -----
     postings = spark.read.parquet(paths.postings)
@@ -422,4 +519,19 @@ def build_index(
         .write.mode("overwrite")
         .parquet(paths.term_stats)
     )
+
+    # ---- compression accounting (utils/build_index.c:62-68 analog) -------
+    sz = postings.agg(
+        F.sum("doc_bytes").alias("doc"), F.sum("tf_bytes").alias("tf"),
+        F.sum("dl_bytes").alias("dl"), F.sum("pos_bytes").alias("pos"),
+    ).first()
+    index_bytes = int((sz["doc"] or 0) + (sz["tf"] or 0) + (sz["dl"] or 0)
+                      + (sz["pos"] or 0))
+    meta["index_bytes"] = index_bytes
+    meta["bits_per_token"] = round(index_bytes * 8.0 / max(int(sum_dl), 1), 4)
+    meta["index_pct_of_corpus"] = round(
+        index_bytes * 100.0 / max(corpus_bytes, 1), 4
+    )
+    with open(paths.meta, "w") as fh:
+        json.dump(meta, fh, indent=1)
     return paths

@@ -58,14 +58,31 @@ def _shingles(k: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+JACCARD_MAX_DF = 256  # shingles in more docs than this are dropped pre-join
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = JACCARD_SHINGLE, min_jaccard: float = 0.1
+    docs: DataFrame, k: int = JACCARD_SHINGLE, min_jaccard: float = 0.1,
+    max_shingle_df: int = JACCARD_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over k-token shingle sets, blocked by
     shared shingle (docs sharing no shingle can't pass any threshold > 0).
+
+    Scale guard (VERDICT r01 #1): a shingle present in d docs contributes
+    O(d²) join rows, so Zipf-head shingles are dropped when their df exceeds
+    ``max_shingle_df`` — they carry the least Jaccard information, and the
+    self-join fan-out becomes bounded by df_cap² per shingle.  Jaccard is
+    then computed over the CAPPED shingle universe (set sizes too), which
+    keeps the measure an exact Jaccard of well-defined sets — deterministic
+    and mirrored verbatim in the DuckDB oracle.
     Output: (doc_a, doc_b, inter, union_sz, jaccard_i = floor(j·10^4))."""
-    sh = docs.select(
+    sh_all = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(k))).alias("shingle")
+    )
+    df_counts = sh_all.groupBy("shingle").agg(F.count("*").alias("sh_df"))
+    sh = (
+        sh_all.join(df_counts.where(F.col("sh_df") <= max_shingle_df), "shingle")
+        .select("doc_id", "shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -62,10 +62,26 @@ class InvertedIndex:
         return self.spark.read.parquet(self.paths.doc_stats)
 
     def index_size_bytes(self) -> int:
-        """`index_size` analog (reference: utils/interface.h:70)."""
+        """`index_size` analog (reference: utils/interface.h:70) — ALL four
+        compressed streams (doc, tf, doclen, positions)."""
         row = (
             self.postings()
-            .agg((F.sum("doc_bytes") + F.sum("tf_bytes")).alias("sz"))
+            .agg(
+                (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")
+                 + F.sum("pos_bytes")).alias("sz")
+            )
             .first()
         )
         return int(row["sz"] or 0)
+
+    def size_report(self) -> dict:
+        """Compression accounting vs the corpus (the reference's bits/char +
+        %-of-text report, utils/build_index.c:66-68): bits per indexed token
+        and index bytes as a percentage of corpus text bytes."""
+        return {
+            "index_bytes": self.meta.get("index_bytes"),
+            "corpus_bytes": self.meta.get("corpus_bytes"),
+            "n_tokens": self.meta.get("n_tokens"),
+            "bits_per_token": self.meta.get("bits_per_token"),
+            "index_pct_of_corpus": self.meta.get("index_pct_of_corpus"),
+        }

@@ -31,14 +31,16 @@ from pyspark.sql import functions as F
 
 from full_text_index_spark.build import (
     IndexPaths,
+    FORMAT_VERSION,
     K1_DEFAULT,
     B_DEFAULT,
     BLOCK_SIZE_DEFAULT,
     POSTINGS_SCHEMA,
     _pack_map_in_pandas,
     prepare_corpus,
+    token_stream,
 )
-from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX, tokens_col
+from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX
 
 GEN_SHIFT = 44  # doc_id = (generation << 44) | dense-id-within-generation
 
@@ -57,24 +59,43 @@ def append_generation(
     """Append one generation of documents to the index at ``out_dir``.
 
     Idempotent per generation: replays overwrite the same (gen, segment)
-    parquet partitions and manifest.
+    parquet partitions and manifest.  Appending to a batch-built index is
+    supported directly — build_index writes generation 0 in the identical
+    (generation, segment) layout — but the immutable format parameters
+    (n_segments, block_size, tokenizer) must match the existing meta, and
+    appends to positional (positions=True) or k-gram indexes are refused
+    (this append path packs no positional stream).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as fh:
+            old = json.load(fh)
+        for key, val in (("n_segments", n_segments), ("block_size", block_size),
+                         ("tokenizer", TOKEN_SPLIT_REGEX), ("unit", "token"),
+                         ("positions", False)):
+            if key in old and old[key] != val:
+                raise ValueError(
+                    f"append_generation: index at {out_dir} has immutable "
+                    f"{key}={old[key]!r} but the append expects {val!r}"
+                )
 
     base = generation << GEN_SHIFT
     docs = prepare_corpus(docs)
     docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base)).withColumn(
         "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
-    ).withColumn("generation", F.lit(generation))
-
-    toks = docs.select(
-        "doc_id", "segment", "generation", "url",
-        F.explode(tokens_col(F.col("text"))).alias("term"),
     )
-    doc_stats = toks.groupBy("doc_id", "segment", "generation", "url").agg(
-        F.count("*").alias("doclen")
+
+    # single tokenization (mirrors build_index): doclen = Σ tf per doc
+    tf = token_stream(docs).groupBy("segment", "term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    doc_stats = (
+        tf.groupBy("doc_id", "segment")
+        .agg(F.sum("tf").alias("doclen"))
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .withColumn("generation", F.lit(generation))
     )
     doc_stats.write.mode("overwrite").partitionBy("generation").parquet(
         paths.doc_stats
@@ -85,9 +106,6 @@ def append_generation(
     n_docs, sum_dl = ds_all.agg(F.count("*"), F.sum("doclen")).first()
     avgdl = float(sum_dl) / float(n_docs)
 
-    tf = toks.groupBy("segment", "generation", "term", "doc_id").agg(
-        F.count("*").alias("tf")
-    )
     tfn = tf.join(ds_all.select("doc_id", "doclen"), "doc_id")
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     packed = (
@@ -114,12 +132,17 @@ def append_generation(
         .write.mode("overwrite")
         .parquet(paths.term_stats)
     )
-    meta = {
+    meta = {}
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as fh:
+            meta = json.load(fh)  # keep batch-build accounting fields
+    meta.update({
         "build_id": f"stream-gen-{generation}", "n_docs": int(n_docs),
         "avgdl": avgdl, "n_segments": n_segments, "block_size": block_size,
-        "k1": k1, "b": b, "tokenizer": TOKEN_SPLIT_REGEX,
-        "format": "vbgap-blockmax-v3", "generations": generation + 1,
-    }
+        "k1": k1, "b": b, "tokenizer": TOKEN_SPLIT_REGEX, "unit": "token",
+        "positions": False, "format": FORMAT_VERSION,
+        "generations": generation + 1,
+    })
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
     with open(

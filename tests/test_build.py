@@ -37,7 +37,9 @@ def test_manifest_metrics_match_postings(tiny_index):
         .groupBy("segment")
         .agg(
             F.sum("df_seg").alias("n"),
-            (F.sum(F.octet_length("doc_blob")) + F.sum(F.octet_length("tf_blob"))).alias("bytes"),
+            (F.sum(F.octet_length("doc_blob")) + F.sum(F.octet_length("tf_blob"))
+             + F.sum(F.octet_length("dl_blob"))
+             + F.sum(F.octet_length("pos_blob"))).alias("bytes"),
         )
         .collect()
     }
@@ -90,9 +92,37 @@ def test_build_is_deterministic(spark, corpus_df, tmp_path, tiny_index):
 
 
 def test_compression_is_effective(tiny_index):
-    """varbyte+delta postings must be far smaller than raw 8-byte docIDs —
+    """varbyte+delta postings must be far smaller than raw 8-byte fields —
     the space-consciousness the reference is all about (bits/char report,
     utils/build_index.c:66-68)."""
     n_postings = tiny_index.postings().agg(F.sum("df_seg")).first()[0]
-    # segment-dense docIDs → ~1-2 bytes/gap + ~1 byte/tf
-    assert tiny_index.index_size_bytes() < 4 * n_postings
+    # segment-dense docIDs → ~1-2 bytes/gap + ~1 byte/tf + ~2 bytes/doclen
+    # (vs 24 raw bytes for three int64 fields per posting)
+    assert tiny_index.index_size_bytes() < 6 * n_postings
+
+
+def test_size_report_accounting(tiny_index):
+    """meta records index_bytes (all four streams), bits/token and
+    %-of-corpus — the utils/build_index.c:66-68 report."""
+    rep = tiny_index.size_report()
+    assert rep["index_bytes"] == tiny_index.index_size_bytes()
+    assert rep["corpus_bytes"] > 0 and rep["n_tokens"] > 0
+    expect_bits = rep["index_bytes"] * 8.0 / rep["n_tokens"]
+    assert abs(rep["bits_per_token"] - expect_bits) < 1e-3
+    expect_pct = rep["index_bytes"] * 100.0 / rep["corpus_bytes"]
+    assert abs(rep["index_pct_of_corpus"] - expect_pct) < 1e-3
+    # the whole point: the compressed index is a small fraction of the text
+    assert rep["index_pct_of_corpus"] < 100.0
+
+
+def test_resume_rejects_mismatched_format_params(spark, corpus_df, tmp_path):
+    """Resuming with different immutable format parameters must fail loudly
+    instead of mislabeling existing segments (ADVICE r01)."""
+    root = str(tmp_path / "idx3")
+    build_index(spark, corpus_df, root, n_segments=4, block_size=16)
+    with pytest.raises(ValueError, match="immutable format parameter"):
+        build_index(spark, corpus_df, root, n_segments=4, block_size=16,
+                    positions=True, resume=True)
+    with pytest.raises(ValueError, match="immutable format parameter"):
+        build_index(spark, corpus_df, root, n_segments=8, block_size=16,
+                    resume=True)
