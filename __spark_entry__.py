@@ -27,11 +27,17 @@ from full_text_index_spark.index import InvertedIndex  # noqa: E402
 from full_text_index_spark.query import (  # noqa: E402
     bm25_topk,
     boolean_and,
+    display_all_occurrences,
     phrase_positions,
     phrase_search,
     term_count,
     term_locate,
     term_positions,
+)
+from full_text_index_spark.substring import (  # noqa: E402
+    build_gram_index,
+    substring_count,
+    substring_locate,
 )
 from full_text_index_spark.tokenizer import tokens_col, tokens_sql  # noqa: E402
 
@@ -87,6 +93,31 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
                     positions=True)
     idx = InvertedIndex.open(spark, cache_root)
     _INDEX_CACHE[key] = idx
+    return idx
+
+
+_GRAM_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _gram_index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Character 3-gram substring index over the sf documents (cached like
+    the token index)."""
+    key = os.path.normpath(sf_dir)
+    if key in _GRAM_CACHE:
+        return _GRAM_CACHE[key]
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".index_cache",
+        (os.path.basename(key) or "default") + "_grams",
+    )
+    if not os.path.exists(os.path.join(cache_root, "meta.json")):
+        docs = _documents(spark, sf_dir).withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        )
+        build_gram_index(spark, docs, cache_root, k=3, n_segments=N_SEGMENTS,
+                         block_size=64)
+    idx = InvertedIndex.open(spark, cache_root)
+    _GRAM_CACHE[key] = idx
     return idx
 
 
@@ -268,9 +299,31 @@ def _q_hk_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCAN_PATTERNS = ["dup", "spark", "row sca", "zzznotthere"]
 
+# arbitrary-substring workload (genpatterns analog, utils/genpatterns.c:196-218):
+# cross-token, case-bearing, and absent patterns — answered from the k-gram
+# index, not a corpus scan
+SUBSTR_COUNT_PATTERNS = [
+    "row sca", "scan slow fast", "Row ", "a a", "alue part", "zzz zz",
+]
+SUBSTR_LOCATE_PATTERNS = ["row sca", "scan slow fast", "w sc"]
+
 
 def _q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.scan_count(_documents(spark, sf_dir), SCAN_PATTERNS).orderBy("pattern")
+
+
+def _q_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _gram_index_for(spark, sf_dir)
+    return substring_count(idx, SUBSTR_COUNT_PATTERNS).orderBy("pattern")
+
+
+def _q_substring_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        substring_locate(idx, SUBSTR_LOCATE_PATTERNS)
+        .select("pattern", "doc_id", F.col("cpos").cast("long").alias("cpos"))
+        .orderBy("pattern", "doc_id", "cpos")
+    )
 
 
 BOOL_QUERIES: list[tuple[int, list[str]]] = [
@@ -341,6 +394,15 @@ def _q_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rank")
     )
+
+
+def _q_display_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full snippet matrix: ±25 chars around EVERY
+    occurrence of each probe term (utils/interface.h:81-92)."""
+    idx = _index_for(spark, sf_dir)
+    return display_all_occurrences(
+        idx, _documents(spark, sf_dir), DISPLAY_TERMS, numc=25
+    ).orderBy("term", "doc_id", "occ_idx")
 
 
 def _q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,12 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h0_entropy": _q_h0_entropy,
         "hk_entropy": _q_hk_entropy,
         "scan_count": _q_scan_count,
+        "substring_count": _q_substring_count,
+        "substring_locate": _q_substring_locate,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
         "term_positions": _q_term_positions,
         "extract_intervals": _q_extract,
         "display_snippets": _q_display,
+        "display_all_occurrences": _q_display_all,
         "index_segment_stats": _q_segment_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -554,6 +619,40 @@ SELECT pattern,
 FROM occ GROUP BY pattern ORDER BY pattern
 """.strip()
 
+    # overlapping, case-sensitive substring semantics: enumerate every char
+    # position and compare — independent of the engine's k-gram plan
+    def _substr_hits_cte(patterns: list[str]) -> str:
+        vals = ", ".join(f"('{p}')" for p in patterns)
+        return f"""
+probe(pattern) AS (VALUES {vals}),
+hits AS (
+  SELECT probe.pattern AS pattern, d.doc_id AS doc_id,
+         unnest(list_filter(
+           generate_series(1, greatest(length(d.text) - length(probe.pattern) + 1, 0)),
+           p -> substr(d.text, p, length(probe.pattern)) = probe.pattern
+         )) AS cpos
+  FROM documents d CROSS JOIN probe
+)
+""".strip()
+
+    sqls["substring_count"] = f"""
+WITH {_substr_hits_cte(SUBSTR_COUNT_PATTERNS)}
+SELECT probe.pattern AS pattern,
+       coalesce(a.n_docs, 0)::BIGINT AS n_docs_matching,
+       coalesce(a.n_occ, 0)::BIGINT AS n_occurrences
+FROM probe LEFT JOIN (
+  SELECT pattern, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM hits GROUP BY pattern
+) a USING (pattern)
+ORDER BY pattern
+""".strip()
+
+    sqls["substring_locate"] = f"""
+WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
+SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+ORDER BY pattern, doc_id, cpos
+""".strip()
+
     bool_vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in BOOL_QUERIES for t in sorted(set(terms))
     )
@@ -653,6 +752,38 @@ SELECT r.term, r.rank::INT AS rank, r.doc_id, r.tf,
               length(r.term) + 50) AS snippet
 FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= 3 ORDER BY term, rank
+""".strip()
+
+    alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+    sqls["display_all_occurrences"] = f"""
+WITH {TOKS_CTE},
+probe(term) AS (VALUES {display_vals}),
+tf AS (
+  SELECT toks.term AS term, toks.doc_id AS doc_id
+  FROM toks JOIN probe ON probe.term = toks.term
+  GROUP BY toks.term, toks.doc_id
+),
+hits AS (
+  SELECT t.term AS term, t.doc_id AS doc_id,
+         unnest(list_filter(
+           generate_series(1, greatest(length(d.text) - length(t.term) + 1, 1)),
+           p -> lower(substr(d.text, p, length(t.term))) = t.term
+                AND (p = 1 OR
+                     strpos('{alnum}', lower(substr(d.text, p - 1, 1))) = 0)
+                AND (p + length(t.term) > length(d.text) OR
+                     strpos('{alnum}',
+                            lower(substr(d.text, p + length(t.term), 1))) = 0)
+         )) AS cpos
+  FROM tf t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT h.term, h.doc_id,
+       row_number() OVER (
+         PARTITION BY h.term, h.doc_id ORDER BY h.cpos
+       )::BIGINT AS occ_idx,
+       h.cpos::BIGINT AS cpos,
+       substr(d.text, greatest(h.cpos - 25, 1), length(h.term) + 50) AS snippet
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+ORDER BY h.term, h.doc_id, occ_idx
 """.strip()
 
     sqls["index_segment_stats"] = f"""

@@ -428,36 +428,44 @@ def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
 def phrase_positions(index: InvertedIndex, phrases: list[str]) -> DataFrame:
     """Exact phrase occurrence counts verified INSIDE the index (no text
     access): for phrase t0 t1 … tm, a match is a doc where each slot's
-    position list contains p, p+1, …, p+m — the positional-postings phrase
-    plan (slot-wise equi-joins on (doc_id, aligned position)).
+    position list contains p, p+1, …, p+m.
     Counts are OVERLAPPING occurrences ("x x x" contains "x x" twice) —
     unlike phrase_search's non-overlapping substring-replace count.
+
+    One batched plan for the whole workload (VERDICT r01 #6): a single join
+    of the decoded positions against a broadcast (phrase, slot, term) table,
+    then one aggregation counting distinct slot hits per aligned start
+    position — the number of stages is constant no matter how many phrases
+    are asked (the old form chained one join pipeline per phrase).
     Output: (phrase, doc_id, n_occurrences)."""
     from full_text_index_spark.tokenizer import tokenize_py
 
-    slots = {p: tokenize_py(p) for p in phrases}
-    all_terms = sorted({t for ts in slots.values() for t in ts})
+    spark = index.spark
+    slot_rows = []
+    for p in phrases:
+        terms = tokenize_py(p)
+        for i, t in enumerate(terms):
+            slot_rows.append((p, i, t, len(terms)))
+    slots = spark.createDataFrame(
+        slot_rows, "phrase string, slot int, term string, n_slots int"
+    )
+    all_terms = sorted({r[2] for r in slot_rows})
     tp = term_positions(index, all_terms)
-    outs = []
-    for phrase, terms in slots.items():
-        cur = (
-            tp.where(F.col("term") == terms[0])
-            .select("doc_id", F.col("tpos").alias("p0"))
+    # aligned start p0 = tpos − slot: an occurrence at p0 needs a DISTINCT
+    # slot hit for every slot (distinct, because a phrase may repeat a term)
+    starts = (
+        tp.join(F.broadcast(slots), "term")
+        .select(
+            "phrase", "n_slots", "doc_id", "slot",
+            (F.col("tpos") - F.col("slot")).alias("p0"),
         )
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = tp.where(F.col("term") == t).select(
-                "doc_id", (F.col("tpos") - i).alias("p0")
-            )
-            cur = cur.join(nxt, ["doc_id", "p0"])
-        outs.append(
-            cur.groupBy("doc_id")
-            .agg(F.count("*").alias("n_occurrences"))
-            .select(F.lit(phrase).alias("phrase"), "doc_id", "n_occurrences")
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+        .groupBy("phrase", "n_slots", "doc_id", "p0")
+        .agg(F.count_distinct("slot").alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_slots"))
+    )
+    return starts.groupBy("phrase", "doc_id").agg(
+        F.count("*").alias("n_occurrences")
+    )
 
 
 def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
@@ -551,6 +559,55 @@ def extract(corpus: DataFrame, intervals: DataFrame) -> DataFrame:
                 F.col("text"),
                 F.col("from_char") + 1,
                 F.col("to_char") - F.col("from_char") + 1,
+            ).alias("snippet"),
+        )
+    )
+
+
+_ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def display_all_occurrences(
+    index: InvertedIndex, corpus: DataFrame, terms: list[str], numc: int = 25,
+) -> DataFrame:
+    """The reference's full `display` semantics: a snippet of ``numc`` chars
+    of context around EVERY occurrence — the snippet matrix
+    (reference: utils/interface.h:81-92, ssa/SSA.cpp:340-433; VERDICT r01
+    missing #2).  Candidate docs come from the index (term_locate), so only
+    matching docs' text is touched; occurrences are token-anchored char
+    positions (alnum-boundary-checked against the lowercased text), which
+    makes the per-doc occurrence count exactly the index's tf.
+    Output: (term, doc_id, occ_idx 1-based, cpos 1-based, snippet)."""
+    cand = term_locate(index, terms)
+    docs = corpus.select("doc_id", "text")
+    lt = F.lower(F.col("text"))
+    tlen = F.length("term")
+    is_alnum = lambda c: F.instr(F.lit(_ALNUM), c) > 0  # noqa: E731
+
+    # positions of token-anchored matches in the ORIGINAL text (1-based):
+    # the substring equals the term on the lowercased text and both
+    # neighbouring chars (if any) are non-alphanumeric
+    positions = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(lt) - tlen + 1, F.lit(1))),
+        lambda p: (lt.substr(p, tlen) == F.col("term"))
+        & ((p == 1) | ~is_alnum(lt.substr(p - 1, F.lit(1))))
+        & ((p + tlen > F.length(lt)) | ~is_alnum(lt.substr(p + tlen, F.lit(1)))),
+    )
+    return (
+        cand.join(docs, "doc_id")
+        .select(
+            "term", "doc_id", "tf",
+            F.posexplode(positions).alias("occ0", "cpos"),
+            F.col("text"),
+        )
+        .select(
+            "term", "doc_id",
+            (F.col("occ0") + 1).cast("long").alias("occ_idx"),
+            F.col("cpos").cast("long").alias("cpos"),
+            F.substring(
+                F.col("text"),
+                F.greatest(F.col("cpos") - numc, F.lit(1)).cast("int"),
+                F.length("term") + 2 * numc,
             ).alias("snippet"),
         )
     )

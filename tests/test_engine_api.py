@@ -74,6 +74,59 @@ def test_extract_bytewise(spark, corpus_df, tiny_corpus_pdf):
         assert got[url]["snippet"] == texts[url][fro: to + 1]
 
 
+def test_display_all_occurrences_matches_brute_force(spark, tiny_index, corpus_df):
+    """Snippet matrix (reference: utils/interface.h:81-92): one row per
+    occurrence, char positions regex-verified, per-doc occurrence count ==
+    the index's tf."""
+    import re
+
+    from full_text_index_spark.query import display_all_occurrences, term_locate
+
+    def check(index, docs_df, term, numc):
+        out = display_all_occurrences(index, docs_df, [term], numc=numc).toPandas()
+        texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+        pat = re.compile(r"(?<![a-z0-9])" + term + r"(?![a-z0-9])")
+        expected = []
+        for d in sorted(texts):
+            lt = texts[d].lower()
+            for i, m in enumerate(pat.finditer(lt), start=1):
+                p = m.start() + 1
+                lo = max(p - numc, 1)
+                expected.append((term, d, i, p,
+                                 texts[d][lo - 1: lo - 1 + len(term) + 2 * numc]))
+        got = sorted(
+            (r.term, r.doc_id, r.occ_idx, r.cpos, r.snippet)
+            for r in out.itertuples(index=False)
+        )
+        assert got == sorted(expected)
+        # per-doc occurrence count equals the index tf (the locate invariant)
+        tfs = {r["doc_id"]: r["tf"] for r in term_locate(index, [term]).collect()}
+        assert out.groupby("doc_id").size().to_dict() == tfs
+        return len(got)
+
+    assert check(tiny_index, corpus_df.select("doc_id", "url", "text"),
+                 "bababa0", 20) > 0
+
+    # punctuation/case boundaries: "dup-licates" contributes a hit (dash is
+    # a token boundary), "DUP." matches case-insensitively
+    import pandas as pd
+
+    from full_text_index_spark.build import build_index
+    from full_text_index_spark.index import InvertedIndex
+
+    punct = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "url": ["u://x1", "u://x2", "u://x3"],
+        "text": ["Dup! dup, dup-licates and DUP.", "no hits here", "dup"],
+    }))
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dispidx_")
+    build_index(spark, punct, root, n_segments=2, block_size=8)
+    pidx = InvertedIndex.open(spark, root)
+    assert check(pidx, punct, "dup", 10) == 5
+
+
 def test_display_contains_term(spark, tiny_index, corpus_df):
     qdf = spark.createDataFrame([(0, ["singletonterm0"])], "qid long, terms array<string>")
     rows = display(tiny_index, corpus_df, qdf, numc=20, k=5).collect()

@@ -81,6 +81,47 @@ def test_phrase_positions_equals_text_scan(spark, pos_index, corpus_with_ids):
     assert len(a) > 0
 
 
+def test_phrase_plan_is_batched(spark, pos_index, corpus_with_ids):
+    """50-phrase workload: one bounded plan (joins don't grow with the
+    phrase count) and results identical to a brute-force Python positional
+    check (VERDICT r01 #6)."""
+    import re
+
+    texts = corpus_with_ids
+    toks0 = tokenize_py(texts.iloc[0]["text"])
+    phrases = []
+    for i in range(50):
+        row = texts.iloc[i % 20]
+        ts = tokenize_py(row["text"])
+        j = (7 * i) % max(len(ts) - 3, 1)
+        n = 2 + i % 3
+        phrases.append(" ".join(ts[j:j + n]))
+    phrases = sorted(set(phrases))
+    out = phrase_positions(pos_index, phrases)
+    # bounded plan: the join count must not scale with the phrase count
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = len(re.findall(r"\bJoin\b", plan))
+    assert n_joins <= 4, f"plan has {n_joins} joins for {len(phrases)} phrases"
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_occurrences"] for r in out.collect()
+    }
+    # brute force: overlapping positional occurrence count per doc
+    expected = {}
+    for _, r in texts.iterrows():
+        ts = tokenize_py(r["text"])
+        for p in phrases:
+            pt = tokenize_py(p)
+            c = sum(
+                1
+                for s in range(len(ts) - len(pt) + 1)
+                if ts[s:s + len(pt)] == pt
+            )
+            if c:
+                expected[(p, r["doc_id"])] = c
+    assert got == expected
+    assert len(toks0) > 0
+
+
 def test_positions_require_positional_index(tiny_index):
     with pytest.raises(ValueError):
         term_positions(tiny_index, ["bababa0"])

@@ -1,0 +1,131 @@
+"""Character k-gram substring index: arbitrary byte patterns (case- and
+punctuation-bearing, crossing token boundaries) answered from the index must
+agree with the whole-corpus scan path AND a brute-force Python check — the
+reference's count/locate semantics (utils/interface.h:59-66)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from full_text_index_spark.build import prepare_corpus
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.substring import (
+    build_gram_index,
+    scan_substring_count,
+    scan_substring_locate,
+    substring_count,
+    substring_locate,
+    substring_search,
+)
+
+TEXTS = [
+    "The quick, brown Fox jumps over the lazy dog.",
+    "row scan slow fast; Row SCAN table, value part",
+    "aaaa aa b aaaa",                      # overlapping self-matches
+    "Dup, dup, DUP! and more dup-licates",
+    "unicode: caf\u00e9 touch\u00e9 caf\u00e9",
+    "punct|pipe&amp;<tag> and spaces   three",
+    "",                                    # empty doc
+    "xy",                                  # shorter than gram size
+]
+
+PATTERNS = [
+    "row sca",       # crosses a token boundary (space inside)
+    "Row ",          # case-bearing prefix
+    "aa",            # shorter than k → scan path only
+    "aaa",           # overlapping (pos 1,2 in "aaaa")
+    "Dup,",          # punctuation-bearing
+    "caf\u00e9",     # unicode
+    "zzz not here",  # absent
+    ", ",            # pure punctuation — but len < 3, scan path
+    "a aaaa",        # crosses boundary with repeats
+]
+
+
+def brute(patterns):
+    out = {}
+    for d, text in enumerate(TEXTS):
+        for p in patterns:
+            L = len(p)
+            if L == 0 or len(text) < L:
+                continue
+            pos = [i + 1 for i in range(len(text) - L + 1) if text[i:i + L] == p]
+            if pos:
+                out[(p, d)] = pos
+    return out
+
+
+@pytest.fixture(scope="module")
+def gram_setup(spark, tmp_path_factory):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(TEXTS)), "url": [f"u://{i}" for i in range(len(TEXTS))],
+         "text": TEXTS}
+    )
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path_factory.mktemp("gramidx"))
+    build_gram_index(spark, prepare_corpus(docs), root, k=3, n_segments=2,
+                     block_size=8)
+    return InvertedIndex.open(spark, root), docs
+
+
+def _collect_locate(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_index_locate_matches_brute_force(gram_setup):
+    idx, _ = gram_setup
+    pats = [p for p in PATTERNS if len(p) >= 3]
+    assert _collect_locate(substring_locate(idx, pats)) == brute(pats)
+
+
+def test_scan_locate_matches_brute_force(gram_setup):
+    _, docs = gram_setup
+    assert _collect_locate(scan_substring_locate(docs, PATTERNS)) == brute(PATTERNS)
+
+
+def test_counts_agree_between_paths(gram_setup):
+    idx, docs = gram_setup
+    pats = [p for p in PATTERNS if len(p) >= 3]
+    a = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in substring_count(idx, pats).collect()
+    }
+    b = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in scan_substring_count(docs, pats).collect()
+    }
+    assert a == b
+    assert a["zzz not here"] == (0, 0)  # absent pattern reports zeros
+    # overlapping semantics: "aaa" occurs twice in each "aaaa"
+    assert a["aaa"] == (1, 4)
+
+
+def test_adaptive_routing(gram_setup):
+    idx, docs = gram_setup
+    # short pattern → scan path even with an index present
+    got = _collect_locate(substring_search(docs, idx, ["aa"]))
+    assert got == brute(["aa"])
+    # no index → scan path
+    got2 = _collect_locate(substring_search(docs, None, ["row sca"]))
+    assert got2 == brute(["row sca"])
+    # tiny corpus (< cutoff) routes to scan — same answers either way
+    got3 = _collect_locate(substring_search(docs, idx, ["row sca"]))
+    assert got3 == brute(["row sca"])
+
+
+def test_rejects_short_pattern_on_index_path(gram_setup):
+    idx, _ = gram_setup
+    with pytest.raises(ValueError, match="shorter than gram size"):
+        substring_locate(idx, ["ab"])
+
+
+def test_gram_index_meta(gram_setup):
+    idx, _ = gram_setup
+    assert idx.meta["unit"] == "chargram-3"
+    assert idx.meta["positions"] is True
+    rep = idx.size_report()
+    assert rep["index_bytes"] > 0 and rep["bits_per_token"] > 0
