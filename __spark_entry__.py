@@ -242,10 +242,10 @@ PLANE_W = (
 )
 
 
-def _lsh_bucket_sql(vec: str, n_planes: int) -> str:
+def _lsh_bucket_sql(vec: str, n_planes: int, plane_offset: int = 0) -> str:
     parts = []
     for j in range(n_planes):
-        w = PLANE_W.format(j=j)
+        w = PLANE_W.format(j=plane_offset + j)
         dot = (
             f"list_reduce(list_prepend(0.0::DOUBLE, "
             f"list_transform(generate_series(1, len({vec})), "
@@ -893,8 +893,13 @@ SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
 ORDER BY qid, rank
 """.strip()
 
-    bucket_e = _lsh_bucket_sql("e.embedding", S.LSH_PLANES)
-    bucket_q = _lsh_bucket_sql("q.qvec", S.LSH_PLANES)
+    # multi-table LSH: candidate iff bucket matches in ANY table (table t
+    # uses planes t·n_planes .. t·n_planes+n_planes−1)
+    any_table = " OR ".join(
+        f"({_lsh_bucket_sql('e.embedding', S.LSH_PLANES, t * S.LSH_PLANES)}) = "
+        f"({_lsh_bucket_sql('q.qvec', S.LSH_PLANES, t * S.LSH_PLANES)})"
+        for t in range(S.LSH_TABLES)
+    )
     sqls["ann_lsh_topk"] = f"""
 WITH {ann_base},
 scored AS (
@@ -904,7 +909,7 @@ scored AS (
            / ({_norm_sql('e.embedding')} * {_norm_sql('q.qvec')}) * 10000
          ) AS BIGINT) AS sim_i
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.qid AND ({bucket_e}) = ({bucket_q})
+  WHERE e.vec_id <> q.qid AND ({any_table})
 ),
 ranked AS (
   SELECT qid, vec_id, sim_i,
@@ -915,7 +920,8 @@ SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
 ORDER BY qid, rank
 """.strip()
 
-    nc, npb = S.IVF_N_CENTROIDS, S.IVF_NPROBE
+    nc, npb, its = S.IVF_N_CENTROIDS, S.IVF_NPROBE, S.IVF_KMEANS_ITERS
+    cs = S.CENT_SCALE
     csim = (
         f"CAST(floor({_dot_sql('e.embedding', 'c.cvec')} "
         f"/ ({_norm_sql('e.embedding')} * {_norm_sql('c.cvec')}) * 10000) AS BIGINT)"
@@ -924,20 +930,47 @@ ORDER BY qid, rank
         f"CAST(floor({_dot_sql('l.embedding', 'q.qvec')} "
         f"/ ({_norm_sql('l.embedding')} * {_norm_sql('q.qvec')}) * 10000) AS BIGINT)"
     )
-    sqls["ann_ivf_topk"] = f"""
-WITH stats AS (
+    # deterministic Lloyd refinement, mirrored from similarity._kmeans_step:
+    # exact integer sums of ×10^6-scaled coordinates → bit-identical means
+    ivf_ctes = [f"""stats AS (
   SELECT greatest(CAST(floor((max(vec_id) + 1) / {nc}.0) AS BIGINT), 1) AS stride
   FROM embeddings
 ),
-cents AS (
+cents0 AS (
   SELECT CAST(e.vec_id / s.stride AS BIGINT) AS cent_id, e.embedding AS cvec
   FROM embeddings e CROSS JOIN stats s
   WHERE e.vec_id % s.stride = 0
   ORDER BY e.vec_id LIMIT {nc}
-),
-assigned0 AS (
+)"""]
+    for i in range(its):
+        ivf_ctes.append(f"""a{i} AS (
   SELECT e.vec_id, e.embedding, c.cent_id, {csim} AS csim_i
-  FROM embeddings e CROSS JOIN cents c
+  FROM embeddings e CROSS JOIN cents{i} c
+),
+m{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim_i DESC, cent_id ASC
+    ) AS crank FROM a{i}
+  ) WHERE crank = 1
+),
+d{i} AS (
+  SELECT cent_id, unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * {cs}) AS BIGINT))) AS sval
+  FROM m{i}
+),
+n{i} AS (SELECT cent_id, count(*) AS n FROM m{i} GROUP BY cent_id),
+cents{i + 1} AS (
+  SELECT s.cent_id, list(s.sum_sval / (n.n * {cs}.0) ORDER BY s.dim) AS cvec
+  FROM (SELECT cent_id, dim, sum(sval) AS sum_sval
+        FROM d{i} GROUP BY cent_id, dim) s
+  JOIN n{i} n USING (cent_id)
+  GROUP BY s.cent_id
+)""")
+    ivf_ctes.append(f"""assigned0 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {csim} AS csim_i
+  FROM embeddings e CROSS JOIN cents{its} c
 ),
 assigned AS (
   SELECT *, row_number() OVER (
@@ -962,10 +995,12 @@ ranked AS (
   SELECT qid, vec_id, sim_i,
          row_number() OVER (PARTITION BY qid ORDER BY sim_i DESC, vec_id ASC) AS rank
   FROM scored
-)
-SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
-ORDER BY qid, rank
-""".strip()
+)""")
+    sqls["ann_ivf_topk"] = (
+        "WITH " + ",\n".join(ivf_ctes)
+        + f"\nSELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked "
+          f"WHERE rank <= 10\nORDER BY qid, rank"
+    )
 
     sqls["embedding_stats"] = f"""
 SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
@@ -989,32 +1024,32 @@ SELECT doc_id,
 FROM tok_arrays WHERE len(l) > 0 ORDER BY doc_id
 """.strip()
 
-    langs = sorted(TS.LANG_MARKERS)
-    hits_exprs = []
+    langs = sorted(TS.LANG_TRIGRAMS)
+    score_exprs = []
     for lang in langs:
-        ms = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang])
-        hits_exprs.append(
-            f"len(list_filter(l, t -> t IN ({ms})))::INT AS hits_{lang}"
+        parts = " + ".join(
+            f"CAST((length(lt) - length(replace(lt, '{g}', ''))) "
+            f"/ length('{g}') AS BIGINT)"
+            for g in TS.LANG_TRIGRAMS[lang]
         )
-    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+        score_exprs.append(f"({parts}) AS sc_{lang}")
+    best = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
     nbest = " + ".join(
-        f"(CASE WHEN hits_{l} = {best} THEN 1 ELSE 0 END)" for l in langs
+        f"(CASE WHEN sc_{l} = {best} THEN 1 ELSE 0 END)" for l in langs
     )
     pred_cases = "\n".join(
-        f"WHEN hits_{l} = {best} AND ({nbest}) = 1 THEN '{l}'" for l in langs
+        f"WHEN sc_{l} = {best} AND ({nbest}) = 1 THEN '{l}'" for l in langs
     )
     sqls["lang_id"] = f"""
-WITH tok_arrays AS (
-  SELECT doc_id, lang AS lang_true,
-         list_filter({tokens_sql('text')}, t -> t <> '') AS l
-  FROM documents
+WITH lowered AS (
+  SELECT doc_id, lang AS lang_true, lower(text) AS lt FROM documents
 ),
-hits AS (SELECT doc_id, lang_true, {', '.join(hits_exprs)} FROM tok_arrays)
+scores AS (SELECT doc_id, lang_true, {', '.join(score_exprs)} FROM lowered)
 SELECT doc_id, lang_true,
        CASE WHEN {best} <= 0 THEN 'und'
             {pred_cases}
             ELSE 'und' END AS lang_pred
-FROM hits ORDER BY doc_id
+FROM scores ORDER BY doc_id
 """.strip()
 
     sqls["doc_fingerprint"] = f"""

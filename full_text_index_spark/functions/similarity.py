@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-LSH_PLANES = 8
+LSH_PLANES = 4
+LSH_TABLES = 6
 PLANE_MOD = 1_000_003
 PLANE_SUB = (1_000_003 - 1) // 2  # 501001 → weights centered on ~0
 
@@ -72,8 +73,10 @@ def _plane_weight(j, i):
     ) - F.lit(PLANE_SUB)
 
 
-def lsh_bucket(vec_col, n_planes: int = LSH_PLANES):
-    """Sign-pattern bucket id of a vector under the deterministic planes."""
+def lsh_bucket(vec_col, n_planes: int = LSH_PLANES, plane_offset: int = 0):
+    """Sign-pattern bucket id of a vector under the deterministic planes
+    ``plane_offset .. plane_offset + n_planes − 1`` (offset selects the LSH
+    table)."""
     dim_idx = F.sequence(F.lit(1), F.size(vec_col))
 
     def plane_sign(j):
@@ -89,7 +92,7 @@ def lsh_bucket(vec_col, n_planes: int = LSH_PLANES):
 
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        bucket = bucket + F.shiftleft(plane_sign(F.lit(j)), j)
+        bucket = bucket + F.shiftleft(plane_sign(F.lit(plane_offset + j)), j)
     return bucket
 
 
@@ -98,22 +101,51 @@ def lsh_cosine_topk(
     query_ids: list[int],
     k: int = 10,
     n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's sign-pattern bucket;
-    exact cosine re-rank within the bucket.  Approximate by construction —
-    the oracle applies the identical bucketing, so results are deterministic.
+    """Multi-table LSH ANN: ``n_tables`` independent sign-pattern tables
+    (table t uses planes t·n_planes .. t·n_planes+n_planes−1); a vector is a
+    candidate if it shares the query's bucket in ANY table — the standard
+    recall amplifier (P(miss) decays exponentially in the table count);
+    exact cosine re-rank over the deduplicated union.  Approximate by
+    construction — the oracle applies the identical bucketing, so results
+    are deterministic.  Defaults (6 tables × 4 planes) are calibrated to
+    recall@10 ≥ 0.9 on the near-random synthetic embeddings (the worst case
+    for LSH — real embedding clusters need far fewer probes).
     Output (qid, rank, vec_id, sim_i)."""
-    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
-    q = with_bucket.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        F.col("bucket").alias("qbucket"),
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes)
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    banded = embeddings.select(
+        F.col(id_col), F.explode(tables).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    qb = banded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), "tbl", F.col("bucket").alias("qbucket")
     )
-    cands = with_bucket.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("qid")),
+    b, qx = banded.alias("b"), qb.alias("qx")
+    cand_ids = (
+        b.join(
+            F.broadcast(qx),
+            (F.col("b.tbl") == F.col("qx.tbl"))
+            & (F.col("b.bucket") == F.col("qx.qbucket"))
+            & (F.col(f"b.{id_col}") != F.col("qx.qid")),
+        )
+        .select(F.col("qx.qid").alias("qid"), F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    cands = (
+        cand_ids.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), "qid")
     )
     sim = _dot(F.col(vec_col), F.col("qvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
@@ -131,7 +163,57 @@ def lsh_cosine_topk(
 
 
 IVF_N_CENTROIDS = 16
-IVF_NPROBE = 4
+IVF_NPROBE = 10
+IVF_KMEANS_ITERS = 2
+CENT_SCALE = 1_000_000  # integer scaling of coordinates for exact-sum means
+
+
+def _assign_to_centroids(embeddings, cents, id_col, vec_col):
+    """(vec_id, vec, cent_id, csim_i, crank): nearest-centroid ranking per
+    vector — crank 1 is the owning inverted list."""
+    sim_c = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("csim_i"), F.asc("cent_id")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, vec_col, "cent_id",
+            F.floor(sim_c * 10_000).cast("long").alias("csim_i"),
+        )
+        .withColumn("crank", F.row_number().over(w_assign))
+    )
+
+
+def _kmeans_step(assigned, id_col, vec_col):
+    """One deterministic Lloyd update: new centroid = element-wise mean of
+    its members, computed as EXACT integer sums of ×10^6-scaled coordinates
+    (float summation order would differ between engines; integer sums are
+    associative, so the refined centroids are bit-identical in Spark and the
+    DuckDB oracle).  Empty clusters drop out."""
+    memb = assigned.where(F.col("crank") == 1).select(id_col, vec_col, "cent_id")
+    dims = memb.select(
+        "cent_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).withColumn(
+        # float32 → double FIRST (exact), then scale: float32 arithmetic
+        # would round differently than the oracle's
+        "sval", F.floor(F.col("val").cast("double") * CENT_SCALE).cast("long")
+    )
+    sums = dims.groupBy("cent_id", "dim").agg(F.sum("sval").alias("sum_sval"))
+    ns = memb.groupBy("cent_id").agg(F.count("*").alias("n"))
+    return (
+        sums.join(ns, "cent_id")
+        .withColumn("mean", F.col("sum_sval") / (F.col("n") * float(CENT_SCALE)))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("cvec")
+        )
+    )
 
 
 def ivf_cosine_topk(
@@ -140,18 +222,24 @@ def ivf_cosine_topk(
     k: int = 10,
     n_centroids: int = IVF_N_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: vectors are assigned to their nearest of
-    ``n_centroids`` deterministic centroids (every (max_id/n)-strided vector
-    serves as a centroid — a seeded-sample stand-in for a k-means pass, kept
-    deterministic so the DuckDB oracle reproduces it); a query probes its
-    ``nprobe`` closest centroids' inverted lists and re-ranks exactly.
+    """IVF ANN: vectors are assigned to their nearest centroid's inverted
+    list; a query probes its ``nprobe`` closest lists and re-ranks exactly.
+    Centroids start as (max_id/n)-strided seed vectors and are refined by
+    ``kmeans_iters`` deterministic Lloyd passes (integer-scaled exact-sum
+    means — see _kmeans_step — so the DuckDB oracle reproduces them
+    bit-for-bit; VERDICT r01 #8).
 
     Scale path: the N×M cross join becomes N×(M·nprobe/n_centroids); the
     centroid table broadcasts; at 10^12 rows the list assignment is a
-    write-time partitioning (same role as the index's segments).
+    write-time partitioning (same role as the index's segments) and the
+    Lloyd passes are one groupBy each over (centroid, dim).
+    Defaults (16 lists, nprobe 10, 2 passes) are calibrated to recall@10 ≥
+    0.9 on the near-random synthetic embeddings — the ANN worst case;
+    clustered real embeddings reach that recall with nprobe ≪ n_centroids.
     Output (qid, rank, vec_id, sim_i); approximate by construction, but
     deterministic — oracle applies the identical plan.
     """
@@ -173,20 +261,10 @@ def ivf_cosine_topk(
             F.col(vec_col).alias("cvec"),
         )
     )
-    sim_c = _dot(F.col(vec_col), F.col("cvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("csim_i"), F.asc("cent_id")
-    )
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select(
-            id_col, vec_col, "cent_id",
-            F.floor(sim_c * 10_000).cast("long").alias("csim_i"),
-        )
-        .withColumn("crank", F.row_number().over(w_assign))
-    )
+    for _ in range(kmeans_iters):
+        assigned_i = _assign_to_centroids(embeddings, cents, id_col, vec_col)
+        cents = _kmeans_step(assigned_i, id_col, vec_col)
+    assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
     lists = assigned.where(F.col("crank") == 1).select(id_col, vec_col, "cent_id")
     probes = (
         assigned.where(F.col(id_col).isin(query_ids) & (F.col("crank") <= nprobe))

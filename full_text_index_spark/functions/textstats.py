@@ -184,37 +184,49 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).where(n > 0)
 
 
-# marker-token tables for the language-ID heuristic (deterministic; the
-# synthetic corpora carry a `lang` column so accuracy is measured, not assumed)
-LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "in", "is"],
-    "de": ["der", "die", "das", "und", "nicht", "ist"],
-    "fr": ["le", "la", "les", "et", "est", "une"],
-    "es": ["el", "los", "las", "es", "una", "y"],
+# character-trigram profiles for the language-ID heuristic — 10 languages,
+# ~6 distinctive trigrams each (spaces included: word-boundary trigrams are
+# the strongest markers).  Scores are non-overlapping substring counts over
+# the lowercased text, pure column expressions in both engines; the
+# synthetic corpora carry a `lang` column so accuracy is measured, not
+# assumed (VERDICT r01 #10).
+LANG_TRIGRAMS = {
+    "en": ["the", " th", "ing", "nd ", " an", "he "],
+    "de": ["der", "ich", "sch", "ein", "und", "die"],
+    "fr": ["les", " le", "ent", "ait", " de", "que"],
+    "es": [" el", "los", "ado", "ción", " la", "ando"],
+    "it": ["gli", " di", "che", "zza", "ione", "tto"],
+    "pt": ["ção", "ão ", " os", "em ", "inho", " de"],
+    "nl": ["het", "een", "ij ", "aar", " de", "oon"],
+    "sv": ["och", "att", "är ", "för", "det", " på"],
+    "pl": ["nie", "ego", "rze", "ych", "ość", " si"],
+    "tr": ["lar", "bir", "yor", "ler", " ve", "ını"],
 }
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """N-gram/stopword-marker language ID: per doc, the language whose
-    marker hit-count is highest (ties → 'und'; no hits → 'und')."""
-    toks = tokens_col(F.col("text"))
-    hit_cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        arr = F.array([F.lit(m) for m in markers])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                f"hits_{lang}"
-            )
-        )
-    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    """Char-trigram-profile language ID over 10 languages: per doc, the
+    language whose profile trigrams occur most often in the lowercased text
+    (non-overlapping counts; unique-max wins, ties or zero → 'und')."""
+    lt = F.lower(F.col("text"))
+    score_cols = []
+    for lang, grams in sorted(LANG_TRIGRAMS.items()):
+        parts = [
+            ((F.length(lt) - F.length(F.replace(lt, F.lit(g))))
+             / F.length(F.lit(g))).cast("long")
+            for g in grams
+        ]
+        score = sum(parts[1:], parts[0])
+        score_cols.append(score.alias(f"sc_{lang}"))
+    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *score_cols)
+    langs = sorted(LANG_TRIGRAMS)
+    best = F.greatest(*[F.col(f"sc_{l}") for l in langs])
     n_best = sum(
-        (F.col(f"hits_{l}") == best).cast("int") for l in langs
+        (F.col(f"sc_{l}") == best).cast("int") for l in langs
     )
     pred = F.when(best <= 0, F.lit("und"))
     for l in langs:  # first (alphabetical) max wins when unique
-        pred = pred.when((F.col(f"hits_{l}") == best) & (n_best == 1), F.lit(l))
+        pred = pred.when((F.col(f"sc_{l}") == best) & (n_best == 1), F.lit(l))
     pred = pred.otherwise(F.lit("und"))
     return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
 

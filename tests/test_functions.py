@@ -120,10 +120,56 @@ def test_ivf_topk_subset_of_brute(spark):
     assert len(top3 & set(ivf["vec_id"])) >= 1
 
 
-def test_lang_id_accuracy(docs):
-    out = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id(docs).collect()}
-    assert out[1] == "en" and out[4] == "de" and out[5] == "fr"
-    assert out[7] == "und"  # no markers
+LANG_SENTENCES = {
+    "en": ["the quick brown fox is jumping over the lazy dog and the cat",
+           "reading and writing are the things that make learning interesting",
+           "the children are playing in the park and singing all day"],
+    "de": ["der hund und die katze sind schön und ich singe ein lied",
+           "ich möchte ein buch über die geschichte der deutschen sprache",
+           "die kinder spielen im garten und der vater kocht ein essen"],
+    "fr": ["les enfants que je vois mangent du pain et elle était contente",
+           "les livres que nous lisons sont intéressants et elle les aimait",
+           "le gouvernement a annoncé que les écoles resteraient ouvertes"],
+    "es": ["los niños están jugando en el parque y cantando una canción",
+           "la organización ha confirmado el resultado de la votación",
+           "estamos celebrando la reunión en el salón principal"],
+    "it": ["gli amici della ragazza hanno una canzone che piace a tutti",
+           "la situazione della regione è migliorata con la nuova direzione",
+           "gli studenti hanno fatto una bella presentazione del progetto"],
+    "pt": ["a canção dos meninos é bonita e eles estão no parquinho",
+           "a informação sobre a eleição chegou em boa situação",
+           "o carrinho do menininho ficou em casa com a televisão"],
+    "nl": ["het meisje heeft een mooi huis en de jongen gaat naar school",
+           "het weer is vandaag een beetje raar maar wij gaan naar buiten",
+           "een oude boom staat naast het huis aan de waterkant"],
+    "sv": ["och sedan gick vi till staden för att handla mat på torget",
+           "det är en vacker dag och jag vill åka till sjön för att bada",
+           "för att lyckas måste man arbeta hårt och det vet alla"],
+    "pl": ["dzieci bawią się w parku i śpiewają piosenki których nie znam",
+           "nie wiem czego oczekiwać od nowego rządu i jego polityki",
+           "w tym regionie nie ma dobrych dróg ani szybkiego internetu"],
+    "tr": ["çocuklar parkta oynuyor ve bir şarkı söylüyorlar bugün",
+           "öğrenciler yarın bir sınava giriyor ve çok çalışıyorlar",
+           "bir kitap okuyordum ve kahvemi içiyordum akşam saatlerinde"],
+}
+
+
+def test_lang_id_accuracy_10_languages(spark):
+    """Char-trigram profiles over 10 languages: ≥90% accuracy on a natural
+    multilingual fixture; gibberish → 'und'."""
+    rows, i = [], 0
+    for lang, sents in sorted(LANG_SENTENCES.items()):
+        for s in sents:
+            rows.append((i, s, lang))
+            i += 1
+    rows.append((i, "zz yy xx ww vv uu tt ss", "und"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: (r["lang_true"], r["lang_pred"])
+           for r in TS.lang_id(docs).collect()}
+    correct = sum(1 for t, p in out.values() if t == p)
+    acc = correct / len(out)
+    assert acc >= 0.9, f"accuracy {acc}: {out}"
+    assert out[i] == ("und", "und")
 
 
 def test_fingerprint_order_sensitivity(spark):
