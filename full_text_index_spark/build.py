@@ -45,7 +45,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -363,15 +363,24 @@ def build_index(
     stream = stream or token_stream
     tokenizer_tag = TOKEN_SPLIT_REGEX if unit == "token" else unit
 
+    corpus_bytes: int | None = None
     if "doc_id" not in corpus.columns:
         # materialize assigned IDs ONCE — the rank-window would otherwise be
         # recomputed by every downstream stage (and the docs table is needed
-        # for resume + display/extract anyway)
+        # for resume + display/extract anyway).  Text bytes are observed on
+        # this write (no separate corpus scan — serial-fraction discipline).
         docs_path = os.path.join(out_dir, "docs")
         if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
-            prepare_corpus(corpus).select("doc_id", "url", "text").repartition(
-                sp
-            ).write.mode("overwrite").parquet(docs_path)
+            obs_docs = Observation("docs_stats")
+            (
+                prepare_corpus(corpus)
+                .select("doc_id", "url", "text")
+                .observe(obs_docs, F.sum(F.octet_length("text")).alias("bytes"))
+                .repartition(sp)
+                .write.mode("overwrite")
+                .parquet(docs_path)
+            )
+            corpus_bytes = int(obs_docs.get["bytes"] or 0)
         corpus = spark.read.parquet(docs_path)
 
     meta = {
@@ -430,25 +439,40 @@ def build_index(
         )
 
     if need_stats:
+        obs_ds = Observation("doclen_stats")
         doc_stats = (
             tf_all.groupBy("doc_id", "segment")
             .agg(F.sum("tf").alias("doclen"))
             .join(docs.select("doc_id", "url"), "doc_id")
             .withColumn("generation", F.lit(0))
+            .observe(
+                obs_ds,
+                F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s"),
+            )
         )
         doc_stats.write.mode("overwrite").partitionBy("generation").parquet(
             paths.doc_stats
         )
+        n_docs, sum_dl = int(obs_ds.get["n"]), int(obs_ds.get["s"])
+    else:
+        n_docs, sum_dl = (
+            spark.read.parquet(paths.doc_stats)
+            .agg(F.count("*").alias("n"), F.sum("doclen").alias("s"))
+            .first()
+        )
     ds = spark.read.parquet(paths.doc_stats)
-    n_docs, sum_dl = ds.agg(
-        F.count("*").alias("n"), F.sum("doclen").alias("s")
-    ).first()
     avgdl = float(sum_dl) / float(n_docs)
-    # corpus_bytes: the denominator of the reference's size report
-    # (index bytes as % of text, utils/build_index.c:66-68)
-    corpus_bytes = int(
-        docs.agg(F.sum(F.octet_length("text"))).first()[0] or 0
-    )
+    # corpus_bytes: the denominator of the reference's size report (index
+    # bytes as % of text, utils/build_index.c:66-68) — observed during the
+    # docs write above; falls back to prior meta, then one pruned scan
+    if corpus_bytes is None:
+        if os.path.exists(paths.meta):
+            with open(paths.meta) as fh:
+                corpus_bytes = json.load(fh).get("corpus_bytes")
+        if corpus_bytes is None:
+            corpus_bytes = int(
+                docs.agg(F.sum(F.octet_length("text"))).first()[0] or 0
+            )
     meta.update(
         {"n_docs": int(n_docs), "avgdl": avgdl, "n_tokens": int(sum_dl),
          "corpus_bytes": corpus_bytes}
@@ -521,12 +545,12 @@ def build_index(
     )
 
     # ---- compression accounting (utils/build_index.c:62-68 analog) -------
-    sz = postings.agg(
-        F.sum("doc_bytes").alias("doc"), F.sum("tf_bytes").alias("tf"),
-        F.sum("dl_bytes").alias("dl"), F.sum("pos_bytes").alias("pos"),
-    ).first()
-    index_bytes = int((sz["doc"] or 0) + (sz["tf"] or 0) + (sz["dl"] or 0)
-                      + (sz["pos"] or 0))
+    # summed from the per-segment manifests (metadata, no extra Spark job)
+    index_bytes = 0
+    for s in range(n_segments):
+        if os.path.exists(paths.manifest(s)):
+            with open(paths.manifest(s)) as fh:
+                index_bytes += int(json.load(fh).get("bytes_compressed", 0))
     meta["index_bytes"] = index_bytes
     meta["bits_per_token"] = round(index_bytes * 8.0 / max(int(sum_dl), 1), 4)
     meta["index_pct_of_corpus"] = round(

@@ -48,13 +48,13 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _matched_postings(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+def _matched_postings(index: InvertedIndex, terms: list[str],
+                      qterms: DataFrame | None = None) -> DataFrame:
     """postings rows for the query vocabulary; uses an IN-list when the
     vocabulary is small (parquet row-group pruning on the sorted `term`
     column), else a broadcast semi-join."""
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     p = index.postings()
-    if len(terms) <= 2000:
+    if len(terms) <= 2000 or qterms is None:
         return p.where(F.col("term").isin(terms))
     return p.join(F.broadcast(qterms.select("term").distinct()), "term")
 
@@ -81,13 +81,13 @@ def bm25_topk(
         .distinct()
         .join(F.broadcast(index.term_stats().select("term", "idf")), "term")
     )
-    matched = _matched_postings(index, qterms)
 
     if not use_blockmax:
         # exact path: vectorized decode → JVM join + agg + window (no Python
         # scoring); postings are self-contained (doclen stream packed in),
         # so no doc_stats join — nothing big ever shuffles.
-        decoded = _decode_postings(matched)
+        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        decoded = _decode_postings(_matched_postings(index, terms, qterms))
         scored = (
             decoded.join(F.broadcast(qterms), "term")
             .withColumn(
@@ -100,31 +100,35 @@ def bm25_topk(
         )
         return _rank_topk(scored, k)
 
-    # block-max MaxScore path: postings cogrouped with segment doc lengths.
-    # Impact bounds are derived HERE (JVM zip_with) from the raw per-block
-    # (max_tf, min_dl) so they are admissible under the current avgdl even
-    # after incremental appends shifted it.
-    # rid: unique per posting ROW (a term may own several rows — one per
-    # generation after incremental appends); it keys the kernel decode cache,
-    # assigned BEFORE the qid join so duplicates share it across queries
-    qp = (
-        matched.withColumn("rid", F.monotonically_increasing_id())
-        .join(F.broadcast(qterms), "term")
-        .select(
-            "segment", "qid", "term", "rid", "idf", "df_seg",
-            "doc_blob", "tf_blob", "dl_blob",
-            "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
-            F.zip_with(
-                "block_max_tf", "block_min_dl",
-                lambda t, d: index.impact_bound(t, d),
-            ).alias("block_max_impact"),
-            index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
-        )
+    # block-max MaxScore path.  The query batch is SMALL (it fits the
+    # driver by construction) and the postings are BIG — so the query
+    # table rides into the kernel as closure state and each posting row is
+    # Arrow-shipped exactly ONCE per segment, never joined against the
+    # queries (a qid×postings join would duplicate every blob once per
+    # query that uses its term — a ~|batch|× IPC amplification that
+    # dominated wall time at 2000 queries).  Impact bounds are derived
+    # HERE (JVM zip_with) from the raw per-block (max_tf, min_dl) so they
+    # are admissible under the current avgdl even after incremental
+    # appends shifted it.  rid: unique per posting ROW (a term may own
+    # several rows — one per generation); it keys the kernel decode cache.
+    qterms_pd = qterms.toPandas()
+    terms = sorted(qterms_pd["term"].unique().tolist())
+    matched = _matched_postings(index, terms)
+    mp = matched.withColumn("rid", F.monotonically_increasing_id()).select(
+        "segment", "term", "rid", "df_seg",
+        "doc_blob", "tf_blob", "dl_blob",
+        "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
+        F.zip_with(
+            "block_max_tf", "block_min_dl",
+            lambda t, d: index.impact_bound(t, d),
+        ).alias("block_max_impact"),
+        index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
     )
     kernel = _make_maxscore_kernel(
-        k1=k1, b=b, avgdl=avgdl, k=k, prune_threshold=prune_threshold
+        k1=k1, b=b, avgdl=avgdl, k=k, qterms_pd=qterms_pd,
+        prune_threshold=prune_threshold,
     )
-    seg_topk = qp.groupBy("segment").applyInPandas(
+    seg_topk = mp.groupBy("segment").applyInPandas(
         kernel, schema="qid long, doc_id long, score double"
     )
     return _rank_topk(seg_topk, k)
@@ -166,9 +170,15 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
 
 
 def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
+                          qterms_pd: pd.DataFrame,
                           prune_threshold: int = 4096):
     """Per-segment scorer: bulk term-at-a-time for ordinary queries,
     block-max MaxScore pruning for heavy ones.
+
+    The query batch (qid, term, idf) arrives as CLOSURE state — each
+    segment's posting rows are Arrow-shipped once, never duplicated per
+    query (the 100 TB-relevant property: IPC volume scales with the index
+    slice touched, not index × batch size).
 
     Bulk path: every query whose candidate volume (Σ df_seg of its terms in
     this segment) is below ``prune_threshold`` is scored together in ONE
@@ -184,6 +194,11 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
     *non-essential* — only surviving candidates are looked up, decoding only
     blocks that contain one AND whose block-max can still matter.
     """
+    idf_by_term: dict[str, float] = {}
+    terms_by_qid: dict[int, list[str]] = {}
+    for r in qterms_pd.itertuples(index=False):
+        idf_by_term[r.term] = float(r.idf)
+        terms_by_qid.setdefault(int(r.qid), []).append(r.term)
 
     def norm_of(dls: np.ndarray) -> np.ndarray:
         return k1 * (1.0 - b + b * dls / avgdl)
@@ -192,11 +207,24 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
         if len(left) == 0:
             return pd.DataFrame(columns=["qid", "doc_id", "score"])
 
+        rows = list(left.itertuples(index=False))
+        term_rows: dict[str, list] = {}
+        for row in rows:
+            term_rows.setdefault(row.term, []).append(row)
+        df_by_term = {
+            t: sum(r.df_seg for r in rs) for t, rs in term_rows.items()
+        }
+        # per-query candidate volume IN THIS SEGMENT
+        bulk_qids, heavy_qids = [], []
+        for qid, terms in terms_by_qid.items():
+            v = sum(df_by_term.get(t, 0) for t in terms)
+            if v == 0:
+                continue
+            (bulk_qids if v <= prune_threshold else heavy_qids).append(qid)
+
         # decode + per-posting contribution once per posting ROW, shared
-        # across every query in the batch that touches it (a query batch
-        # usually repeats terms; the decode and float math are
-        # query-independent). Postings are self-contained: the doclen
-        # stream is packed alongside tf, so no doc-stats lookup.
+        # across every query in the batch that touches it.  Postings are
+        # self-contained: the doclen stream is packed alongside tf.
         row_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
         def full_decode(row) -> tuple[np.ndarray, np.ndarray]:
@@ -205,23 +233,31 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                 docs = decode_gaps(row.doc_blob)
                 tfs = varbyte_decode(row.tf_blob).astype(np.float64)
                 dls = varbyte_decode(row.dl_blob).astype(np.float64)
-                contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norm_of(dls))
+                contrib = (
+                    idf_by_term[row.term] * (k1 + 1.0) * tfs
+                    / (tfs + norm_of(dls))
+                )
                 hit = (docs, contrib)
                 row_cache[row.rid] = hit
             return hit
 
-        vol = left.groupby("qid", sort=False)["df_seg"].transform("sum")
-        bulk = left[vol <= prune_threshold]
-        heavy = left[vol > prune_threshold]
-
         frames = []
-        if len(bulk):
+        if bulk_qids:
+            # invert: term → bulk qids that use it (fan the decoded arrays
+            # out per query without re-decoding)
+            bulk_by_term: dict[str, list[int]] = {}
+            for qid in bulk_qids:
+                for t in terms_by_qid[qid]:
+                    if t in term_rows:
+                        bulk_by_term.setdefault(t, []).append(qid)
             qs, ds, cs = [], [], []
-            for row in bulk.itertuples(index=False):
-                docs, contrib = full_decode(row)
-                qs.append(np.full(len(docs), row.qid, dtype=np.int64))
-                ds.append(docs)
-                cs.append(contrib)
+            for t, qids_t in bulk_by_term.items():
+                for row in term_rows[t]:
+                    docs, contrib = full_decode(row)
+                    for qid in qids_t:
+                        qs.append(np.full(len(docs), qid, dtype=np.int64))
+                        ds.append(docs)
+                        cs.append(contrib)
             flat = pd.DataFrame(
                 {
                     "qid": np.concatenate(qs),
@@ -251,18 +287,24 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                 )
 
         out_q, out_d, out_s = [], [], []
-        for qid, grp in heavy.groupby("qid", sort=False):
-            idf = grp["idf"].to_numpy(dtype=np.float64)
-            ms = idf * (k1 + 1.0) * grp["max_impact"].to_numpy(dtype=np.float64)
+        for qid in heavy_qids:
+            rlist = [
+                r for t in terms_by_qid[qid] for r in term_rows.get(t, [])
+            ]
+            idf = np.array(
+                [idf_by_term[r.term] for r in rlist], dtype=np.float64
+            )
+            mi = np.array([r.max_impact for r in rlist], dtype=np.float64)
+            ms = idf * (k1 + 1.0) * mi
             order = np.argsort(-ms, kind="stable")
-            rows = grp.iloc[order]
+            rows_q = [rlist[i] for i in order]
             ms = ms[order]
             suffix = np.concatenate([np.cumsum(ms[::-1])[::-1], [0.0]])
 
             acc_docs = np.empty(0, dtype=np.int64)
             acc_scores = np.empty(0, dtype=np.float64)
             theta = -np.inf
-            for i, row in enumerate(rows.itertuples(index=False)):
+            for i, row in enumerate(rows_q):
                 essential = suffix[i] >= theta - _EPS
                 if essential or row.rid in row_cache:
                     docs, contrib = full_decode(row)
@@ -286,12 +328,15 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                     if len(cand) == 0:
                         break
                     docs, tfs, dls = _lookup_blocks(
-                        row, cand, acc_scores[keep], row.idf, (k1 + 1.0),
-                        theta, suffix[i + 1],
+                        row, cand, acc_scores[keep], idf_by_term[row.term],
+                        (k1 + 1.0), theta, suffix[i + 1],
                     )
                     if len(docs) == 0:
                         continue
-                    contrib = row.idf * (k1 + 1.0) * tfs / (tfs + norm_of(dls))
+                    contrib = (
+                        idf_by_term[row.term] * (k1 + 1.0) * tfs
+                        / (tfs + norm_of(dls))
+                    )
                 acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, contrib)
                 if len(acc_scores) >= k:
                     theta = np.partition(acc_scores, len(acc_scores) - k)[

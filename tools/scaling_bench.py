@@ -54,7 +54,7 @@ def ensure_corpus(n_docs: int) -> str:
     return out
 
 
-REPEATS = 2  # the sandbox host is shared & bursty — take best-of per level
+REPEATS = 3  # the sandbox host is shared & bursty — take best-of per level
 
 
 def _best(runs: list[dict]) -> dict:
