@@ -371,6 +371,28 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# flat-file interval workload (genintervals analog, utils/genintervals.c:
+# 105-119): 0-based inclusive offsets into the concatenation of texts in
+# doc_id order — includes doc-boundary-crossing and single-char intervals
+FLAT_INTERVALS = [(0, 79), (1500, 1619), (7777, 7913), (42424, 42424),
+                  (120000, 120179)]
+
+
+def _q_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_text_index_spark.workload import extract_flat_intervals
+
+    return (
+        extract_flat_intervals(_documents(spark, sf_dir), FLAT_INTERVALS)
+        .select(
+            F.col("ivl_id").cast("long").alias("ivl_id"),
+            F.col("from_char").cast("long").alias("from_char"),
+            F.col("to_char").cast("long").alias("to_char"),
+            "snippet",
+        )
+        .orderBy("ivl_id")
+    )
+
+
 def _q_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top-3 docs per term by (tf desc, doc_id asc), ±25 chars context
     around the first occurrence — the `display` analog."""
@@ -505,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_positions": _q_phrase_positions,
         "term_positions": _q_term_positions,
         "extract_intervals": _q_extract,
+        "extract_flat": _q_extract_flat,
         "display_snippets": _q_display,
         "display_all_occurrences": _q_display_all,
         "index_segment_stats": _q_segment_stats,
@@ -731,6 +754,38 @@ ORDER BY term, doc_id, tpos
     sqls["extract_intervals"] = """
 SELECT doc_id, substr(text, CAST(doc_id % 23 + 1 AS INT), 40) AS snippet
 FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id
+""".strip()
+
+    flat_vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(FLAT_INTERVALS)
+    )
+    # flat-concatenation extract (genintervals workload): document start
+    # offsets via window cumsum, pieces stitched in doc_id order; intervals
+    # fully past the end yield no row in BOTH engines (inner-join semantics)
+    sqls["extract_flat"] = f"""
+WITH offs AS (
+  SELECT doc_id, text, length(text) AS len,
+         coalesce(sum(length(text)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM documents
+),
+ivl(ivl_id, from_char, to_char) AS (VALUES {flat_vals}),
+pieces AS (
+  SELECT i.ivl_id, i.from_char, i.to_char, o.doc_id,
+         substr(
+           o.text,
+           CAST(greatest(i.from_char - o.start, 0) + 1 AS BIGINT),
+           CAST(least(i.to_char, o.start + o.len - 1) - o.start
+                - greatest(i.from_char - o.start, 0) + 1 AS BIGINT)
+         ) AS piece
+  FROM offs o JOIN ivl i
+    ON i.from_char <= o.start + o.len - 1 AND i.to_char >= o.start
+)
+SELECT ivl_id::BIGINT AS ivl_id, from_char::BIGINT AS from_char,
+       to_char::BIGINT AS to_char,
+       string_agg(piece, '' ORDER BY doc_id) AS snippet
+FROM pieces GROUP BY 1, 2, 3 ORDER BY ivl_id
 """.strip()
 
     sqls["display_snippets"] = f"""

@@ -24,6 +24,14 @@ def tiny_corpus_pdf():
 
 
 @pytest.fixture(scope="session")
+def small_docs(spark, tiny_corpus_pdf):
+    """Prepared (doc_id, url, text) docs table for workload/substring tests."""
+    from full_text_index_spark.build import prepare_corpus
+
+    return prepare_corpus(spark.createDataFrame(tiny_corpus_pdf)).cache()
+
+
+@pytest.fixture(scope="session")
 def tiny_index(spark, tiny_corpus_pdf, tmp_path_factory):
     """Build the index for the tiny corpus once per session."""
     from full_text_index_spark.build import build_index, prepare_corpus

@@ -1,0 +1,257 @@
+"""Gold-standard differential check: our substring engine vs the REAL
+reference binaries.
+
+Compiles the reference's plain-suffix-array index (`sau` — the structure the
+reference itself uses as its correctness oracle, algorithms/sau/SAu.c) and
+its workload tools from /root/reference into a temp dir, then:
+
+1. generates a deterministic corpus (corpus.generate_corpus_pdf) and writes
+   it as ONE flat file — texts in doc_id order, '\\n'-separated (the
+   separator keeps flat-file occurrences from straddling document
+   boundaries, so per-document counts sum to flat-file counts exactly);
+2. samples a pattern workload with the reference's own `genpatterns`
+   (forbidden='\\n');
+3. runs reference `build_index` + `run_queries C/L ... V` and parses the
+   verbose binary protocol (run_queries.c:145-150,216-221: ulong length,
+   pattern bytes, ulong numocc[, ulong occ...]);
+4. answers the SAME patterns from our character k-gram index
+   (substring_count / substring_locate) and maps (doc_id, cpos) back to
+   flat-file offsets;
+5. compares per-pattern occurrence counts AND exact position sets.
+
+Usage: python tools/reference_crosscheck.py [n_docs] [pattern_len] [n_patterns]
+
+Exit code 0 iff everything matches.  Requires gcc/g++ and /root/reference.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REFERENCE = os.environ.get("FTI_REFERENCE_DIR", "/root/reference")
+
+
+def _patch(path: str, fn) -> None:
+    with open(path) as fh:
+        text = fh.read()
+    text = fn(text)
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def compile_reference(workdir: str) -> str:
+    """Copy ds + sau + utils into workdir and build genpatterns,
+    build_index, run_queries against the sau index.  Returns the utils
+    bin dir.
+
+    The sources predate 64-bit: ds/common.h typedefs Int32 as `long`
+    (8 bytes on LP64) while e.g. globals.c defines `int Shallow_limit`
+    (4 bytes) — shallow.c's 8-byte write through the extern Int32
+    declaration corrupts adjacent globals (AddressSanitizer-confirmed
+    global-buffer-overflow at shallow.c:38).  Two behavior-preserving
+    64-bit port patches are applied: Int32/UInt32 become true 32-bit
+    ints, and sau widens the sorter's int32 suffix array into its ulong
+    `pos` array after the sort."""
+    for d in ("ds", "utils"):
+        shutil.copytree(os.path.join(REFERENCE, d), os.path.join(workdir, d))
+    os.makedirs(os.path.join(workdir, "algorithms"))
+    shutil.copytree(
+        os.path.join(REFERENCE, "algorithms", "sau"),
+        os.path.join(workdir, "algorithms", "sau"),
+    )
+    ds = os.path.join(workdir, "ds")
+    _patch(
+        os.path.join(ds, "common.h"),
+        lambda t: t.replace("typedef long          Int32;",
+                            "typedef int           Int32;")
+                   .replace("typedef unsigned long UInt32;",
+                            "typedef unsigned int  UInt32;"),
+    )
+    _patch(
+        os.path.join(ds, "ds_ssort.h"),
+        lambda t: t.replace(
+            "void ds_ssort(unsigned char *t, unsigned long *sa, long n);",
+            "void ds_ssort(unsigned char *t, unsigned int *sa, int n);",
+        ),
+    )
+    subprocess.run(
+        ["make", "-s", "ds.o", "globals.o", "helped.o", "shallow.o",
+         "deep2.o", "blind2.o"],
+        cwd=ds, check=True, capture_output=True,
+    )
+    sau = os.path.join(workdir, "algorithms", "sau")
+    _patch(
+        os.path.join(sau, "SAu.c"),
+        lambda t: t.replace(
+            "extern void ds_ssort(uchar *x, ulong *p, long n);",
+            "extern void ds_ssort(uchar *x, unsigned int *p, int n);",
+        ).replace(
+            "ds_ssort( x, p, _index->n);",
+            "{ unsigned int *p32 = (unsigned int *)"
+            " malloc(sizeof(unsigned int)*(length)); ulong ii;\n"
+            "    if (!p32) return 1;\n"
+            "    ds_ssort( x, p32, (int)_index->n);\n"
+            "    for (ii = 0; ii < length; ii++) p[ii] = (ulong) p32[ii];\n"
+            "    free(p32); }",
+        ),
+    )
+    _patch(
+        os.path.join(sau, "Makefile"),
+        lambda t: t.replace("DSDIR=../../ds", f"DSDIR={ds}")
+                   .replace("-I../../", f"-I{workdir}/"),
+    )
+    subprocess.run(["make", "-s"], cwd=sau, check=True, capture_output=True)
+    utils = os.path.join(workdir, "utils")
+    subprocess.run(
+        ["make", "-s", "TARGET=sau", "genpatterns", "build_index",
+         "run_queries"],
+        cwd=utils, check=True, capture_output=True,
+    )
+    return utils
+
+
+def parse_verbose(blob: bytes, with_positions: bool):
+    """run_queries -V binary stdout → {pattern: count | sorted positions}."""
+    kind, off = blob[0:1], 1
+    out: dict[str, object] = {}
+    while off < len(blob):
+        (length,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        pat = blob[off:off + length].decode("utf-8")
+        off += length
+        (numocc,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        if with_positions:
+            occ = struct.unpack_from(f"<{numocc}Q", blob, off)
+            off += 8 * numocc
+            out[pat] = sorted(occ)
+        else:
+            out[pat] = numocc
+    return kind, out
+
+
+def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
+                   npat: int = 60) -> int:
+    """Returns the number of mismatching patterns (0 = pass)."""
+    from full_text_index_spark.build import prepare_corpus
+    from full_text_index_spark.corpus import generate_corpus_pdf
+    from full_text_index_spark.index import InvertedIndex
+    from full_text_index_spark.substring import (
+        build_gram_index,
+        substring_count,
+        substring_locate,
+    )
+    from full_text_index_spark.workload import read_patterns_file
+
+    work = tempfile.mkdtemp(prefix="fti_refxchk_")
+    try:
+        print("compiling reference (sau + utils) ...", file=sys.stderr)
+        utils = compile_reference(work)
+
+        docs = prepare_corpus(
+            spark.createDataFrame(generate_corpus_pdf(n_docs, seed=77))
+        ).cache()
+        rows = sorted(
+            docs.select("doc_id", "text").collect(), key=lambda r: r["doc_id"]
+        )
+        flat_path = os.path.join(work, "corpus.txt")
+        starts: dict[int, int] = {}
+        acc = 0
+        with open(flat_path, "wb") as fh:
+            for r in rows:
+                starts[r["doc_id"]] = acc
+                b = r["text"].encode("utf-8") + b"\n"
+                fh.write(b)
+                acc += len(b)
+
+        pat_path = os.path.join(work, "patterns")
+        # genpatterns exits 1 even on success (genpatterns.c falls off main
+        # after "successfully generated") — check the artifact, not the code
+        subprocess.run(
+            [os.path.join(utils, "genpatterns"), flat_path, str(plen),
+             str(npat), pat_path, r"\n"],
+            capture_output=True,
+        )
+        if not os.path.exists(pat_path):
+            raise RuntimeError("genpatterns produced no patterns file")
+        _, pats = read_patterns_file(pat_path)
+        uniq = sorted(set(pats))
+        print(f"{len(pats)} patterns ({len(uniq)} unique) sampled by the "
+              f"reference genpatterns", file=sys.stderr)
+
+        # sau's load_index reads the suffix array from <name>.sa and the
+        # TEXT from <name> itself (SAu.c:199-228) — the index name must be
+        # the flat text path
+        idx_path = flat_path
+        subprocess.run(
+            [os.path.join(utils, "build_index"), flat_path, idx_path],
+            check=True, capture_output=True,
+        )
+        with open(pat_path, "rb") as fh:
+            pat_bytes = fh.read()
+        rc = subprocess.run(
+            [os.path.join(utils, "run_queries"), idx_path, "C", "V"],
+            input=pat_bytes, capture_output=True, check=True,
+        )
+        _, ref_counts = parse_verbose(rc.stdout, with_positions=False)
+        rl = subprocess.run(
+            [os.path.join(utils, "run_queries"), idx_path, "L", "V"],
+            input=pat_bytes, capture_output=True, check=True,
+        )
+        _, ref_pos = parse_verbose(rl.stdout, with_positions=True)
+
+        gram_root = os.path.join(work, "grams")
+        build_gram_index(spark, docs, gram_root, k=3, n_segments=4)
+        gidx = InvertedIndex.open(spark, gram_root)
+        eng_counts = {
+            r["pattern"]: r["n_occurrences"]
+            for r in substring_count(gidx, uniq).collect()
+        }
+        eng_pos: dict[str, list[int]] = {p: [] for p in uniq}
+        for r in substring_locate(gidx, uniq).collect():
+            eng_pos[r["pattern"]].append(
+                starts[r["doc_id"]] + r["cpos"] - 1
+            )
+
+        bad = 0
+        for p in uniq:
+            if eng_counts.get(p) != ref_counts.get(p):
+                bad += 1
+                print(f"COUNT MISMATCH {p!r}: engine={eng_counts.get(p)} "
+                      f"reference={ref_counts.get(p)}")
+            if sorted(eng_pos[p]) != ref_pos.get(p):
+                bad += 1
+                print(f"POSITIONS MISMATCH {p!r}: "
+                      f"engine={sorted(eng_pos[p])[:5]}... "
+                      f"reference={ref_pos.get(p, [])[:5]}...")
+        tot = sum(ref_counts.values())
+        if bad == 0:
+            print(f"PASS: {len(uniq)} patterns, {tot} occurrences — counts "
+                  f"and exact positions match the reference sau index")
+        else:
+            print(f"FAIL: {bad} mismatches")
+        return bad
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    from full_text_index_spark.session import get_spark
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    plen = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    npat = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+    spark = get_spark("ref-crosscheck", cpus=8, shuffle_partitions=8)
+    return 1 if run_crosscheck(spark, n_docs, plen, npat) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
