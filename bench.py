@@ -42,11 +42,16 @@ def _query_batch(spark, docs, n=None):
     from full_text_index_spark.tokenizer import tokens_col
 
     n = n or N_BM25_QUERIES
-    vocab = sorted(
+    # top-4096 terms by df, deterministic tie-break: the stride sampling
+    # below then mixes head terms (df ≈ n_docs) with tail terms — the df
+    # spectrum a real log has, exercising all three kernel paths (bulk /
+    # dense / MaxScore) instead of head-only worst cases
+    vocab = [
         r["term"]
         for r in docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
-        .groupBy("term").count().orderBy(F.desc("count")).limit(64).collect()
-    )
+        .groupBy("term").count()
+        .orderBy(F.desc("count"), "term").limit(4096).collect()
+    ]
     batch, qid = [], 0
     v = len(vocab)
     while len(batch) < n:

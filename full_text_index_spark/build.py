@@ -358,6 +358,12 @@ def build_index(
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     build_id = build_id or f"build-{int(time.time())}"
+    # per-phase wall clock, recorded in meta (build_index.c:62-64 analog)
+    t_build0 = time.monotonic()
+    phase_s: dict[str, float] = {}
+
+    def _phase(name: str, t0: float) -> None:
+        phase_s[name] = round(time.monotonic() - t0, 3)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     sp = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     stream = stream or token_stream
@@ -371,6 +377,7 @@ def build_index(
         # this write (no separate corpus scan — serial-fraction discipline).
         docs_path = os.path.join(out_dir, "docs")
         if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
+            t0 = time.monotonic()
             obs_docs = Observation("docs_stats")
             (
                 prepare_corpus(corpus)
@@ -381,6 +388,7 @@ def build_index(
                 .parquet(docs_path)
             )
             corpus_bytes = int(obs_docs.get["bytes"] or 0)
+            _phase("assign_ids_write_docs", t0)
         corpus = spark.read.parquet(docs_path)
 
     meta = {
@@ -439,6 +447,7 @@ def build_index(
         )
 
     if need_stats:
+        t0 = time.monotonic()
         obs_ds = Observation("doclen_stats")
         doc_stats = (
             tf_all.groupBy("doc_id", "segment")
@@ -454,6 +463,7 @@ def build_index(
             paths.doc_stats
         )
         n_docs, sum_dl = int(obs_ds.get["n"]), int(obs_ds.get["s"])
+        _phase("tokenize_doc_stats", t0)
     else:
         n_docs, sum_dl = (
             spark.read.parquet(paths.doc_stats)
@@ -485,6 +495,7 @@ def build_index(
         [s for s in todo_all if s % segment_groups == g]
         for g in range(segment_groups)
     ]
+    t0 = time.monotonic()
     for todo in groups:
         if not todo:
             continue
@@ -527,10 +538,12 @@ def build_index(
             }
             with open(paths.manifest(s), "w") as fh:
                 json.dump(manifest, fh)
+    _phase("postings_shuffle_pack_write", t0)
     if tf_all is not None:
         tf_all.unpersist()
 
     # ---- global term stats (vocab-sized; one small agg over postings) -----
+    t0 = time.monotonic()
     postings = spark.read.parquet(paths.postings)
     (
         postings.groupBy("term")
@@ -543,6 +556,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(paths.term_stats)
     )
+    _phase("term_stats", t0)
 
     # ---- compression accounting (utils/build_index.c:62-68 analog) -------
     # summed from the per-segment manifests (metadata, no extra Spark job)
@@ -556,6 +570,8 @@ def build_index(
     meta["index_pct_of_corpus"] = round(
         index_bytes * 100.0 / max(corpus_bytes, 1), 4
     )
+    phase_s["total"] = round(time.monotonic() - t_build0, 3)
+    meta["phase_seconds"] = phase_s
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
     return paths

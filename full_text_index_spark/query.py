@@ -112,6 +112,30 @@ def bm25_topk(
     # appends shifted it.  rid: unique per posting ROW (a term may own
     # several rows — one per generation); it keys the kernel decode cache.
     qterms_pd = qterms.toPandas()
+    # dedupe the batch to DISTINCT TERM SETS: identical sets score
+    # identically, so the kernel works per set (sid) and the per-qid
+    # fan-out is a broadcast join AFTER ranking — kernel work, Arrow
+    # output and the ranking window all scale with distinct queries, not
+    # batch size (real logs and the reference's genpatterns workloads
+    # repeat patterns heavily).
+    set_of_qid: dict[int, tuple] = {}
+    for qid, grp in qterms_pd.groupby("qid"):
+        set_of_qid[int(qid)] = tuple(sorted(grp["term"].tolist()))
+    sid_of_set: dict[tuple, int] = {}
+    qid_sid_rows = []
+    for qid, ts in sorted(set_of_qid.items()):
+        sid = sid_of_set.setdefault(ts, len(sid_of_set))
+        qid_sid_rows.append((qid, sid))
+    idf_of_term = dict(
+        zip(qterms_pd["term"].tolist(), qterms_pd["idf"].tolist())
+    )
+    sets_pd = pd.DataFrame(
+        [
+            {"sid": sid, "term": t, "idf": idf_of_term[t]}
+            for ts, sid in sid_of_set.items()
+            for t in ts
+        ]
+    )
     terms = sorted(qterms_pd["term"].unique().tolist())
     matched = _matched_postings(index, terms)
     mp = matched.withColumn("rid", F.monotonically_increasing_id()).select(
@@ -125,13 +149,38 @@ def bm25_topk(
         index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
     )
     kernel = _make_maxscore_kernel(
-        k1=k1, b=b, avgdl=avgdl, k=k, qterms_pd=qterms_pd,
+        k1=k1, b=b, avgdl=avgdl, k=k, sets_pd=sets_pd,
         prune_threshold=prune_threshold,
     )
-    seg_topk = mp.groupBy("segment").applyInPandas(
-        kernel, schema="qid long, doc_id long, score double"
+    # task granularity tracks CLUSTER PARALLELISM, not segment count: each
+    # kernel task takes several whole segments (docs live in exactly one
+    # segment, so any segment-derived bucket keeps a doc's contributions
+    # together and the kernel's math is unchanged).  32 tiny tasks pay the
+    # per-task worker/Arrow constant 32×; ~2 tasks per core amortizes it
+    # while keeping stragglers bounded — the same rule of thumb a real
+    # cluster uses for shuffle partition sizing.
+    dp = max(index.spark.sparkContext.defaultParallelism, 1)
+    n_buckets = int(min(index.meta["n_segments"], max(2 * dp, 8)))
+    seg_topk = (
+        mp.withColumn(
+            "task_bucket", F.pmod(F.col("segment"), F.lit(n_buckets))
+        )
+        .groupBy("task_bucket")
+        .applyInPandas(kernel, schema="sid long, doc_id long, score double")
     )
-    return _rank_topk(seg_topk, k)
+    # rank per SET, then fan out to qids JVM-side (broadcast join): the
+    # window sorts k·segments·distinct_sets rows, not ×batch_size
+    w = Window.partitionBy("sid").orderBy(
+        F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()
+    )
+    ranked_sets = (
+        seg_topk.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    qid_sid = index.spark.createDataFrame(qid_sid_rows, "qid long, sid long")
+    return ranked_sets.join(F.broadcast(qid_sid), "sid").select(
+        "qid", "rank", "doc_id", "score"
+    )
 
 
 def _decode_postings(postings: DataFrame) -> DataFrame:
@@ -170,7 +219,7 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
 
 
 def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
-                          qterms_pd: pd.DataFrame,
+                          sets_pd: pd.DataFrame,
                           prune_threshold: int = 4096):
     """Per-segment scorer: bulk term-at-a-time for ordinary queries,
     block-max MaxScore pruning for heavy ones.
@@ -188,24 +237,31 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
     overhead across the batch (the analog of the reference's batched locate
     with shared Ψ-cycles, csa-sada/comparray4.c:816-877).
 
-    MaxScore path (heavy queries): process terms in descending max-score;
-    once the summed max-scores of the remaining terms cannot lift any unseen
-    document past the current k-th score (θ), remaining terms are
-    *non-essential* — only surviving candidates are looked up, decoding only
-    blocks that contain one AND whose block-max can still matter.
+    Dense path (heavy sets covering most of the segment): one score vector
+    over the segment's doc universe per term, vector adds per set, top-k by
+    argpartition — θ cannot prune a term every document contains, so
+    exhaustive-but-cache-resident beats MaxScore there.
+
+    MaxScore path (heavy sets with selective terms): process terms in
+    descending max-score; once the summed max-scores of the remaining terms
+    cannot lift any unseen document past the current k-th score (θ),
+    remaining terms are *non-essential* — only surviving candidates are
+    looked up, decoding only blocks that contain one AND whose block-max can
+    still matter.
     """
     idf_by_term: dict[str, float] = {}
-    terms_by_qid: dict[int, list[str]] = {}
-    for r in qterms_pd.itertuples(index=False):
+    terms_by_sid: dict[int, tuple] = {}
+    for r in sets_pd.itertuples(index=False):
         idf_by_term[r.term] = float(r.idf)
-        terms_by_qid.setdefault(int(r.qid), []).append(r.term)
+        terms_by_sid.setdefault(int(r.sid), ())
+        terms_by_sid[int(r.sid)] = terms_by_sid[int(r.sid)] + (r.term,)
 
     def norm_of(dls: np.ndarray) -> np.ndarray:
         return k1 * (1.0 - b + b * dls / avgdl)
 
     def kernel(left: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
-            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+            return pd.DataFrame(columns=["sid", "doc_id", "score"])
 
         rows = list(left.itertuples(index=False))
         term_rows: dict[str, list] = {}
@@ -214,13 +270,13 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
         df_by_term = {
             t: sum(r.df_seg for r in rs) for t, rs in term_rows.items()
         }
-        # per-query candidate volume IN THIS SEGMENT
-        bulk_qids, heavy_qids = [], []
-        for qid, terms in terms_by_qid.items():
-            v = sum(df_by_term.get(t, 0) for t in terms)
+        # per-SET candidate volume IN THIS SEGMENT
+        bulk_sets, heavy_sets = [], []
+        for sid, ts in terms_by_sid.items():
+            v = sum(df_by_term.get(t, 0) for t in ts)
             if v == 0:
                 continue
-            (bulk_qids if v <= prune_threshold else heavy_qids).append(qid)
+            (bulk_sets if v <= prune_threshold else heavy_sets).append(sid)
 
         # decode + per-posting contribution once per posting ROW, shared
         # across every query in the batch that touches it.  Postings are
@@ -242,40 +298,40 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
             return hit
 
         frames = []
-        if bulk_qids:
-            # invert: term → bulk qids that use it (fan the decoded arrays
-            # out per query without re-decoding)
+        if bulk_sets:
+            # invert: term → bulk sids that use it (fan the decoded arrays
+            # out per distinct SET, never per query)
             bulk_by_term: dict[str, list[int]] = {}
-            for qid in bulk_qids:
-                for t in terms_by_qid[qid]:
+            for sid in bulk_sets:
+                for t in terms_by_sid[sid]:
                     if t in term_rows:
-                        bulk_by_term.setdefault(t, []).append(qid)
+                        bulk_by_term.setdefault(t, []).append(sid)
             qs, ds, cs = [], [], []
-            for t, qids_t in bulk_by_term.items():
+            for t, sids_t in bulk_by_term.items():
                 for row in term_rows[t]:
                     docs, contrib = full_decode(row)
-                    for qid in qids_t:
-                        qs.append(np.full(len(docs), qid, dtype=np.int64))
+                    for sid in sids_t:
+                        qs.append(np.full(len(docs), sid, dtype=np.int64))
                         ds.append(docs)
                         cs.append(contrib)
             flat = pd.DataFrame(
                 {
-                    "qid": np.concatenate(qs),
+                    "sid": np.concatenate(qs),
                     "doc_id": np.concatenate(ds),
                     "c": np.concatenate(cs),
                 }
             )
-            scored = flat.groupby(["qid", "doc_id"], sort=False, as_index=False)[
+            scored = flat.groupby(["sid", "doc_id"], sort=False, as_index=False)[
                 "c"
             ].sum()
-            q = scored["qid"].to_numpy()
+            q = scored["sid"].to_numpy()
             d = scored["doc_id"].to_numpy()
             s = scored["c"].to_numpy()
             order = np.lexsort((d, -np.round(s, RANK_ROUND), q))
             q, d, s = q[order], d[order], s[order]
-            # first k rows of each qid run (qids are contiguous after sort)
-            change = np.empty(len(q), dtype=bool)
+            # first k rows of each sid run (sids are contiguous after sort)
             if len(q):
+                change = np.empty(len(q), dtype=bool)
                 change[0] = True
                 change[1:] = q[1:] != q[:-1]
                 run_rank = np.arange(len(q)) - np.maximum.accumulate(
@@ -283,14 +339,81 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                 )
                 keep = run_rank < k
                 frames.append(
-                    pd.DataFrame({"qid": q[keep], "doc_id": d[keep], "score": s[keep]})
+                    pd.DataFrame(
+                        {"sid": q[keep], "doc_id": d[keep], "score": s[keep]}
+                    )
                 )
 
         out_q, out_d, out_s = [], [], []
-        for qid in heavy_qids:
-            rlist = [
-                r for t in terms_by_qid[qid] for r in term_rows.get(t, [])
-            ]
+
+        # ---- dense term-at-a-time for heavy sets that touch most of the
+        # segment (head terms).  One float vector over the segment's doc
+        # universe per term; a set's scores are vector adds; top-k via
+        # argpartition + exact tie policy.  Cache-resident (universe ×
+        # 8 bytes) and cheaper than MaxScore whenever candidate volume ≈
+        # universe, because θ cannot prune a term that every doc contains.
+        universe: np.ndarray | None = None
+        dense_by_term: dict[str, np.ndarray] = {}
+        maxscore_sets: list[tuple] = []
+        dense_sets: list[tuple] = []
+        if heavy_sets:
+            universe = np.unique(
+                np.concatenate(
+                    [full_decode(r)[0] for rs in term_rows.values() for r in rs]
+                )
+            )
+            for sid in heavy_sets:
+                v = sum(df_by_term.get(t, 0) for t in terms_by_sid[sid])
+                (dense_sets if v >= 0.25 * len(universe) else
+                 maxscore_sets).append(sid)
+
+        def dense_of(t: str) -> np.ndarray:
+            vec = dense_by_term.get(t)
+            if vec is None:
+                vec = np.zeros(len(universe), dtype=np.float64)
+                for row in term_rows[t]:
+                    docs, contrib = full_decode(row)
+                    vec[np.searchsorted(universe, docs)] += contrib
+                dense_by_term[t] = vec
+            return vec
+
+        for sid in dense_sets:
+            present = [t for t in terms_by_sid[sid] if t in term_rows]
+            if len(present) == 1 and len(term_rows[present[0]]) == 1:
+                # single-term, single-generation: the decoded posting row IS
+                # the per-doc score list — top-k directly on it, no dense
+                # vector (saves ~3×universe memory traffic per head set)
+                docs_1, s_1 = full_decode(term_rows[present[0]][0])
+                if len(s_1) > k:
+                    part = np.argpartition(-s_1, k - 1)[:k]
+                    thr = np.round(s_1[part], RANK_ROUND).min()
+                    cand = np.flatnonzero(np.round(s_1, RANK_ROUND) >= thr)
+                else:
+                    cand = np.arange(len(s_1))
+                key = cand[
+                    np.lexsort((docs_1[cand], -np.round(s_1[cand], RANK_ROUND)))
+                ][:k]
+                out_q.append(np.full(len(key), sid, dtype=np.int64))
+                out_d.append(docs_1[key])
+                out_s.append(s_1[key])
+                continue
+            arrs = [dense_of(t) for t in present]
+            s = arrs[0] if len(arrs) == 1 else np.sum(arrs, axis=0)
+            pos = np.flatnonzero(s > 0.0)
+            if len(pos) == 0:
+                continue
+            if len(pos) > k:
+                part = pos[np.argpartition(-s[pos], k - 1)[:k]]
+                thr = np.round(s[part], RANK_ROUND).min()
+                pos = pos[np.round(s[pos], RANK_ROUND) >= thr]
+            key = pos[np.lexsort((universe[pos], -np.round(s[pos], RANK_ROUND)))][:k]
+            n = len(key)
+            out_q.append(np.full(n, sid, dtype=np.int64))
+            out_d.append(universe[key])
+            out_s.append(s[key])
+
+        for sid in maxscore_sets:
+            rlist = [r for t in terms_by_sid[sid] for r in term_rows.get(t, [])]
             idf = np.array(
                 [idf_by_term[r.term] for r in rlist], dtype=np.float64
             )
@@ -347,21 +470,21 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
             n = min(k, len(acc_docs))
             # tie policy: score rounded @6 desc, doc_id asc
             key = np.lexsort((acc_docs, -np.round(acc_scores, RANK_ROUND)))[:n]
-            out_q.append(np.full(n, qid, dtype=np.int64))
+            out_q.append(np.full(n, sid, dtype=np.int64))
             out_d.append(acc_docs[key])
             out_s.append(acc_scores[key])
         if out_q:
             frames.append(
                 pd.DataFrame(
                     {
-                        "qid": np.concatenate(out_q),
+                        "sid": np.concatenate(out_q),
                         "doc_id": np.concatenate(out_d),
                         "score": np.concatenate(out_s),
                     }
                 )
             )
         if not frames:
-            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+            return pd.DataFrame(columns=["sid", "doc_id", "score"])
         return pd.concat(frames, ignore_index=True)
 
     return kernel
