@@ -127,9 +127,19 @@ def main() -> None:
         idx = InvertedIndex.open(spark, idx_root)
 
         # --- batched BM25 top-10 (queries/sec) ----------------------------
+        # min-of-N in one JVM (SPARK_GRAFT_QUERY_REPS): the shared host's
+        # bandwidth bursts distort single shots; the minimum is the
+        # engine's actual cost
         qdf = _query_batch(spark, docs)
         n_queries = qdf.count()
+        q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "1"))
         timed("bm25_batch", lambda: bm25_topk(idx, qdf, k=10).collect())
+        for _ in range(q_reps - 1):
+            t0 = time.perf_counter()
+            bm25_topk(idx, qdf, k=10).collect()
+            timings["bm25_batch"] = min(
+                timings["bm25_batch"], round(time.perf_counter() - t0, 3)
+            )
 
         # --- pipeline operators (skipped in core mode: the N-vs-4N scaling
         # runs measure only build + query throughput) ----------------------

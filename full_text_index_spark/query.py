@@ -14,11 +14,16 @@ utils/interface.h:59-92) and its query drivers (utils/run_queries.c:124-383):
   (fm/fm_extract.c:21-98) collapse to ``substring`` projections because the
   text is a stored column.
 
-Distribution model: queries broadcast to every index segment; scoring runs
-segment-local (cogrouped with that segment's doc lengths — no shuffle of
-postings); only the per-(query, segment) top-k rows — k · n_segments ·
-n_queries tiny rows — shuffle for the global merge.  This is the plan that
-survives 100 TB: the big tables never move.
+Distribution model: the query batch is deduplicated to DISTINCT TERM SETS
+driver-side and rides into the scoring kernel as closure state; posting
+blobs are Arrow-shipped once per task, never joined against queries.  Tasks
+take several whole segments each (task count tracks cluster parallelism,
+~2 per core, not segment count) — docs live in exactly one segment, so any
+segment-derived bucketing keeps a doc's contributions together.  Only the
+per-(set, task) top-k rows — k · n_tasks · n_distinct_sets tiny rows —
+shuffle for the global merge; query ids re-attach via a broadcast join
+AFTER ranking.  This is the plan that survives 100 TB: the big tables
+never move, and kernel work scales with distinct queries, not batch size.
 """
 
 from __future__ import annotations

@@ -55,6 +55,9 @@ def append_generation(
     block_size: int = BLOCK_SIZE_DEFAULT,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    positions: bool = False,
+    stream=None,
+    unit: str = "token",
 ) -> None:
     """Append one generation of documents to the index at ``out_dir``.
 
@@ -62,19 +65,24 @@ def append_generation(
     parquet partitions and manifest.  Appending to a batch-built index is
     supported directly — build_index writes generation 0 in the identical
     (generation, segment) layout — but the immutable format parameters
-    (n_segments, block_size, tokenizer) must match the existing meta, and
-    appends to positional (positions=True) or k-gram indexes are refused
-    (this append path packs no positional stream).
+    (n_segments, block_size, tokenizer, unit, positions) must match the
+    existing meta.  ``positions``/``stream``/``unit`` mirror build_index, so
+    positional token indexes AND character k-gram substring indexes append
+    incrementally too (substring.append_gram_generation wraps this) — a
+    capability the reference lacks entirely (its indexes are immutable,
+    utils/interface.h:34-44).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stream = stream or token_stream
+    tokenizer_tag = TOKEN_SPLIT_REGEX if unit == "token" else unit
     if os.path.exists(paths.meta):
         with open(paths.meta) as fh:
             old = json.load(fh)
         for key, val in (("n_segments", n_segments), ("block_size", block_size),
-                         ("tokenizer", TOKEN_SPLIT_REGEX), ("unit", "token"),
-                         ("positions", False)):
+                         ("tokenizer", tokenizer_tag), ("unit", unit),
+                         ("positions", positions)):
             if key in old and old[key] != val:
                 raise ValueError(
                     f"append_generation: index at {out_dir} has immutable "
@@ -88,9 +96,12 @@ def append_generation(
     )
 
     # single tokenization (mirrors build_index): doclen = Σ tf per doc
-    tf = token_stream(docs).groupBy("segment", "term", "doc_id").agg(
-        F.count("*").alias("tf")
-    )
+    aggs = [F.count("*").alias("tf")]
+    pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
+        pack_cols.append("positions")
+    tf = stream(docs).groupBy("segment", "term", "doc_id").agg(*aggs)
     doc_stats = (
         tf.groupBy("doc_id", "segment")
         .agg(F.sum("tf").alias("doclen"))
@@ -111,7 +122,7 @@ def append_generation(
     packed = (
         tfn.repartition(sp, "segment", "term")
         .sortWithinPartitions("segment", "term", "doc_id")
-        .select("segment", "term", "doc_id", "tf", "doclen")
+        .select(*pack_cols)
         .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
         .withColumn("generation", F.lit(generation))
     )
@@ -139,8 +150,8 @@ def append_generation(
     meta.update({
         "build_id": f"stream-gen-{generation}", "n_docs": int(n_docs),
         "avgdl": avgdl, "n_segments": n_segments, "block_size": block_size,
-        "k1": k1, "b": b, "tokenizer": TOKEN_SPLIT_REGEX, "unit": "token",
-        "positions": False, "format": FORMAT_VERSION,
+        "k1": k1, "b": b, "tokenizer": tokenizer_tag, "unit": unit,
+        "positions": positions, "format": FORMAT_VERSION,
         "generations": generation + 1,
     })
     with open(paths.meta, "w") as fh:

@@ -99,6 +99,30 @@ def build_gram_index(
     )
 
 
+def append_gram_generation(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    generation: int,
+    *,
+    k: int = GRAM_K_DEFAULT,
+    n_segments: int = 32,
+    block_size: int = 128,
+) -> None:
+    """Incrementally append documents to an existing k-gram substring index
+    (generation-disjoint, idempotent — streaming.append_generation with the
+    char-gram stream).  The reference's indexes are immutable
+    (utils/interface.h:34-44); here new text becomes substring-searchable
+    without rebuilding the old generations."""
+    from full_text_index_spark.streaming import append_generation
+
+    append_generation(
+        spark, docs, out_dir, generation,
+        n_segments=n_segments, block_size=block_size, positions=True,
+        stream=make_gram_stream(k), unit=f"chargram-{k}",
+    )
+
+
 def _gram_k(index: InvertedIndex) -> int:
     unit = index.meta.get("unit", "token")
     if not unit.startswith("chargram-"):

@@ -86,3 +86,59 @@ def test_stream_build_end_to_end(spark, two_gen_corpus, tmp_path):
         q.stop()
     idx = InvertedIndex.open(spark, root)
     _assert_matches_oracle(idx, a, QUERIES)
+
+
+def test_append_gram_generation_substring_union(spark, two_gen_corpus, tmp_path):
+    """k-gram substring index appends incrementally: after a second
+    generation, substring counts and positions equal a Python scan over the
+    UNION corpus (per-doc, overlapping)."""
+    from full_text_index_spark.build import prepare_corpus
+    from full_text_index_spark.substring import (
+        append_gram_generation,
+        build_gram_index,
+        substring_count,
+        substring_locate,
+    )
+
+    import pandas as pd
+
+    a, b = two_gen_corpus
+    root = str(tmp_path / "gidx")
+    da = prepare_corpus(spark.createDataFrame(a, CORPUS_SCHEMA))
+    build_gram_index(spark, da, root, k=3, n_segments=4, block_size=16)
+    append_gram_generation(
+        spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+        k=3, n_segments=4, block_size=16,
+    )
+    idx = InvertedIndex.open(spark, root)
+
+    union = pd.concat([a, b], ignore_index=True)
+    texts = union["text"].tolist()
+    pats = ["aba0 ", "ba1 ceb", "zzznope"]
+
+    def occ(t, p):
+        n = s = 0
+        while True:
+            i = t.find(p, s)
+            if i < 0:
+                return n
+            n, s = n + 1, i + 1
+
+    got = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in substring_count(idx, pats).collect()
+    }
+    for p in pats:
+        exp = (sum(1 for t in texts if p in t), sum(occ(t, p) for t in texts))
+        assert got[p] == exp, p
+    # every located (doc, cpos) is an exact char-accurate hit: resolve each
+    # doc's text via its url in doc_stats (gen-1 docs are not in gen-0 docs/)
+    ds = idx.doc_stats().select("doc_id", "url").toPandas()
+    by_url = dict(zip(union["url"], union["text"]))
+    url_of = dict(zip(ds["doc_id"], ds["url"]))
+    located = substring_locate(idx, ["aba0 "]).collect()
+    assert located, "probe pattern should occur"
+    for r in located:
+        t = by_url[url_of[r["doc_id"]]]
+        cpos = r["cpos"]
+        assert t[cpos - 1:cpos - 1 + 5] == "aba0 "
