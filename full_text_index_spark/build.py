@@ -14,14 +14,21 @@ one in-memory byte string (ds/ds.c:73-129), we:
    a Zipf head term becomes ``n_segments`` independent bounded rows instead
    of one unbounded one (the role the reference's superbucket/bucket split
    plays for its occ tables, fm/fm_build.c:580-702);
-3. aggregate the stream ONCE into ``(segment, term, doc_id, tf[, positions])``
-   (map-side partial aggregation is free) and persist that aggregate; both
-   doc lengths and postings derive from it, so the corpus is tokenized
-   exactly once;
-4. shuffle once on ``(segment, term)``, sort runs within partitions, and pack
-   each (segment, term) run into delta-gap + varbyte blobs with block-max
-   skip metadata inside an Arrow-batched ``mapInPandas`` (all numpy, no
-   per-row Python);
+3. aggregate doc lengths with one tiny map-side-combined shuffle (a doc's
+   tokens never leave their input partition before combining, so the
+   doc-stats shuffle moves ~one row per document), then join ``doclen``
+   back onto the *document* rows (doc-level join — broadcast below the
+   autoBroadcastJoinThreshold, sort-merge on a cluster) so it rides the
+   explode into the pack shuffle;
+4. shuffle the RAW token stream once on ``(segment, term)``, sort within
+   partitions, and let the Arrow-batched ``mapInPandas`` packer aggregate
+   tf runs AND pack delta-gap + varbyte blobs with block-max skip metadata
+   in the same numpy pass.  This is deliberate bandwidth discipline: an
+   aggregate-then-pack pipeline needs TWO wide shuffles plus a persisted
+   intermediate (measured r02: the extra materializations were the
+   worst-scaling phase of the whole build — memory-bandwidth-bound work
+   scales far worse than the ~1.3-2× extra rows of shipping raw
+   occurrences, whose tokenize cost is CPU-bound and parallelizes);
 5. write Iceberg-style parquet partitioned by (generation, segment) —
    generation 0 for batch builds, higher generations appended by
    streaming.append_generation — with dynamic partition overwrite, so
@@ -47,8 +54,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from full_text_index_spark.codec import varbyte_encode
 from full_text_index_spark.corpus import doc_id_from_url
 from full_text_index_spark.tokenizer import TOKEN_SPLIT_REGEX, tokens_col
@@ -114,24 +119,55 @@ def _varbyte_sizes(values: np.ndarray) -> np.ndarray:
 
 
 def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Pack contiguous (segment, term) runs — sorted by (segment, term,
-    doc_id) — into compressed posting rows.  Batch-wide varbyte encode, then
+    """Collapse a sorted token-level stream ``(segment, term, doc_id, doclen
+    [, tpos])`` — sorted by (segment, term, doc_id[, tpos]) — into compressed
+    posting rows.  tf aggregation (run length per (segment, term, doc_id))
+    happens HERE, in the same numpy pass that packs: the build ships raw
+    occurrences through ONE wide shuffle with no separate aggregation
+    shuffle and no persisted intermediate.  Batch-wide varbyte encode, then
     per-run slicing; inner loops are numpy."""
     if len(pdf) == 0:
         return pd.DataFrame(columns=_PACK_COLUMNS)
-    seg = pdf["segment"].to_numpy()
-    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tf = pdf["tf"].to_numpy(dtype=np.int64)
-    dl = pdf["doclen"].to_numpy(dtype=np.int64)
-    term = pdf["term"].to_numpy()
+    have_pos = "tpos" in pdf.columns
+    if "tf" in pdf.columns:
+        # aggregated input — one row per posting (non-positional builds:
+        # the (segment, term, doc_id) → tf aggregation ran JVM-side after
+        # the single wide exchange, so Arrow ships ~1 row per posting)
+        seg = pdf["segment"].to_numpy()
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        dl = pdf["doclen"].to_numpy(dtype=np.int64)
+        term = pdf["term"].to_numpy()
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+    else:
+        # token-level input (positional builds: the sorted occurrence rows
+        # ARE the flat position stream, so no list-typed columns ever exist)
+        seg_t = pdf["segment"].to_numpy()
+        doc_t = pdf["doc_id"].to_numpy(dtype=np.int64)
+        dl_t = pdf["doclen"].to_numpy(dtype=np.int64)
+        term_t = pdf["term"].to_numpy()
 
-    change = np.empty(len(pdf), dtype=bool)
+        # posting boundaries: change of (segment, term, doc_id) in token order
+        pchange = np.empty(len(pdf), dtype=bool)
+        pchange[0] = True
+        pchange[1:] = (
+            (term_t[1:] != term_t[:-1])
+            | (seg_t[1:] != seg_t[:-1])
+            | (doc_t[1:] != doc_t[:-1])
+        )
+        tok_starts = np.flatnonzero(pchange)
+        tok_ends = np.append(tok_starts[1:], len(pdf))
+        tf = (tok_ends - tok_starts).astype(np.int64)
+        doc = doc_t[tok_starts]
+        dl = dl_t[tok_starts]
+        seg = seg_t[tok_starts]
+        term = term_t[tok_starts]
+
+    # run boundaries: change of (segment, term) among collapsed postings
+    change = np.empty(len(doc), dtype=bool)
     change[0] = True
     change[1:] = (term[1:] != term[:-1]) | (seg[1:] != seg[:-1])
     run_starts = np.flatnonzero(change)
-    run_ends = np.empty_like(run_starts)
-    run_ends[:-1] = run_starts[1:]
-    run_ends[-1] = len(pdf)
+    run_ends = np.append(run_starts[1:], len(doc))
 
     # delta-gap docIDs, reset at run starts (gap[start] = doc+1, see codec)
     gaps = np.empty(len(doc), dtype=np.int64)
@@ -142,31 +178,23 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         raise ValueError("postings not strictly sorted by (segment, term, doc_id)")
 
     # optional positional stream: per posting, delta-gapped 1-based token
-    # positions (the reference's occurrence positions, utils/interface.h:66)
-    have_pos = "positions" in pdf.columns
+    # positions (the reference's occurrence positions, utils/interface.h:66);
+    # the sorted token rows ARE the flat position stream
     if have_pos:
-        pos_lists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
-        plens = np.fromiter((len(x) for x in pos_lists), dtype=np.int64,
-                            count=len(pos_lists))
-        if not np.array_equal(plens, tf):
-            raise ValueError("positions length must equal tf")
-        flat = np.concatenate(pos_lists) if plens.sum() else np.empty(0, np.int64)
-        p_ends = np.cumsum(plens)
-        p_starts = p_ends - plens
+        flat = pdf["tpos"].to_numpy(dtype=np.int64)
+        p_ends = tok_ends
+        p_starts = tok_starts
         pg = np.empty_like(flat)
-        if len(flat):
-            pg[0] = flat[0]
-            pg[1:] = flat[1:] - flat[:-1]
-            pg[p_starts[plens > 0]] = flat[p_starts[plens > 0]]
-            if pg.min() <= 0:
-                raise ValueError("positions must be strictly increasing, >= 1")
+        pg[0] = flat[0]
+        pg[1:] = flat[1:] - flat[:-1]
+        pg[p_starts] = flat[p_starts]
+        if pg.min() <= 0:
+            raise ValueError("positions must be strictly increasing, >= 1")
         pos_buf = np.frombuffer(varbyte_encode(pg), dtype=np.uint8)
-        p_sizes = _varbyte_sizes(pg) if len(pg) else np.empty(0, np.int64)
+        p_sizes = _varbyte_sizes(pg)
         flat_end = np.cumsum(p_sizes)
-        # per-POSTING byte extents of its position group
-        post_end = flat_end[p_ends - 1] if len(flat) else np.zeros(len(pdf), np.int64)
-        post_end = np.where(plens > 0, post_end, 0)
-        # carry forward for zero-length groups (can't occur: tf >= 1)
+        # per-POSTING byte extents of its position group (tf >= 1 always)
+        post_end = flat_end[p_ends - 1]
         post_start = np.concatenate(([0], post_end[:-1]))
 
     doc_buf = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
@@ -217,8 +245,9 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
 
 def _pack_map_in_pandas(block_size: int):
-    """mapInPandas packer with carry-over so a (segment, term) run spanning
-    Arrow batch boundaries inside one partition is packed once."""
+    """mapInPandas packer (token-level input) with carry-over so a
+    (segment, term) run spanning Arrow batch boundaries inside one partition
+    is aggregated and packed once."""
 
     def pack(iterator):
         pending: pd.DataFrame | None = None
@@ -296,10 +325,14 @@ def prepare_corpus(corpus: DataFrame, n_buckets: int | None = None) -> DataFrame
 def token_stream(docs: DataFrame) -> DataFrame:
     """Default stream: lowercase alphanumeric tokens with 1-based positions.
     ``docs`` must carry (doc_id, segment, text); output
-    (doc_id, segment, term, tpos)."""
+    (doc_id, segment[, doclen], term, tpos).  A ``doclen`` column, when
+    present, rides the explode — this is how the pack shuffle receives doc
+    lengths without any token-level join (the doc-level join happens before
+    the explode)."""
+    carry = [c for c in ("doclen",) if c in docs.columns]
     return (
         docs.select(
-            "doc_id", "segment",
+            "doc_id", "segment", *carry,
             F.posexplode(tokens_col(F.col("text"))).alias("tpos0", "term"),
         )
         .withColumn("tpos", F.col("tpos0") + 1)
@@ -423,35 +456,22 @@ def build_index(
         os.path.join(paths.doc_stats, "_SUCCESS")
     )
 
-    # ---- single-pass stream aggregation -----------------------------------
-    # the corpus is tokenized ONCE: tf_all feeds both doc_stats (doclen =
-    # Σ tf per doc) and the postings pack (VERDICT r01 #3 — the build
-    # previously tokenized twice plus once per segment group)
-    aggs = [F.count("*").alias("tf")]
-    pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
-    if positions:
-        aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
-        pack_cols.append("positions")
-
+    # ---- pass A: doc stats ------------------------------------------------
+    # doclen = token count per doc, aggregated with map-side combine: a
+    # doc's tokens never leave their input partition before combining, so
+    # this shuffle moves ~one row per DOCUMENT (not per token).  The pack
+    # pass below re-tokenizes — a deliberate trade measured in r02: an
+    # aggregate-once-then-persist pipeline costs two wide token-level
+    # materializations (persist write+read) plus a second full shuffle,
+    # all memory-bandwidth-bound; tokenization is CPU-bound and scales.
     need_stats = not (resume and stats_ready)
-    scope = docs if need_stats else docs.where(
-        F.col("segment").isin([int(s) for s in todo_all])
-    )
-    tf_all = None
-    if need_stats or todo_all:
-        tf_all = (
-            stream(scope)
-            .groupBy("segment", "term", "doc_id")
-            .agg(*aggs)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-
     if need_stats:
         t0 = time.monotonic()
         obs_ds = Observation("doclen_stats")
         doc_stats = (
-            tf_all.groupBy("doc_id", "segment")
-            .agg(F.sum("tf").alias("doclen"))
+            stream(docs)
+            .groupBy("doc_id", "segment")
+            .agg(F.count("*").alias("doclen"))
             .join(docs.select("doc_id", "url"), "doc_id")
             .withColumn("generation", F.lit(0))
             .observe(
@@ -490,7 +510,17 @@ def build_index(
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh, indent=1)
 
-    # ---- postings, segment-group at a time --------------------------------
+    # ---- pass B: postings, segment-group at a time ------------------------
+    # doclen joins onto the DOCUMENT rows (broadcast under the
+    # autoBroadcastJoinThreshold; sort-merge co-partitioned on doc_id at
+    # cluster scale) and rides the explode, so the raw token stream goes
+    # through exactly ONE wide shuffle — (segment, term) — straight into
+    # the aggregating packer.
+    docs_dl = docs.join(ds.select("doc_id", "doclen"), "doc_id")
+    sort_keys = ["segment", "term", "doc_id"] + (["tpos"] if positions else [])
+    pack_cols = ["segment", "term", "doc_id", "doclen"] + (
+        ["tpos"] if positions else []
+    )
     groups: list[list[int]] = [
         [s for s in todo_all if s % segment_groups == g]
         for g in range(segment_groups)
@@ -499,12 +529,28 @@ def build_index(
     for todo in groups:
         if not todo:
             continue
-        tf = tf_all.where(F.col("segment").isin([int(s) for s in todo]))
-        tfn = tf.join(ds.select("doc_id", "doclen"), "doc_id")
+        scope = docs_dl if len(todo) == n_segments else docs_dl.where(
+            F.col("segment").isin([int(s) for s in todo])
+        )
+        shuffled = (
+            stream(scope)
+            .select(*pack_cols)  # prune pre-shuffle: tpos ships only when packed
+            .repartition(sp, "segment", "term")
+        )
+        if positions:
+            # the sorted occurrence rows are themselves the position stream
+            pack_in = shuffled.sortWithinPartitions(*sort_keys)
+        else:
+            # tf aggregation runs JVM-side on the already-(segment, term)-
+            # clustered partitions — Catalyst adds NO second exchange, and
+            # the Arrow hop ships one row per posting, not per occurrence
+            pack_in = (
+                shuffled.groupBy("segment", "term", "doc_id")
+                .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+                .sortWithinPartitions(*sort_keys)
+            )
         packed = (
-            tfn.repartition(sp, "segment", "term")
-            .sortWithinPartitions("segment", "term", "doc_id")
-            .select(*pack_cols)
+            pack_in
             .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
             .withColumn("generation", F.lit(0))
         )
@@ -539,8 +585,6 @@ def build_index(
             with open(paths.manifest(s), "w") as fh:
                 json.dump(manifest, fh)
     _phase("postings_shuffle_pack_write", t0)
-    if tf_all is not None:
-        tf_all.unpersist()
 
     # ---- global term stats (vocab-sized; one small agg over postings) -----
     t0 = time.monotonic()

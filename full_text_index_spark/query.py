@@ -42,6 +42,35 @@ RANK_ROUND = 6
 _EPS = 10.0 ** (-RANK_ROUND)
 
 
+# kernel-task routing labels: for partition count n, integer label l_b with
+# pmod(hash(l_b), n) == b for every b in 0..n-1, so each kernel bucket lands
+# in its OWN shuffle partition.  F.hash IS HashPartitioning's Murmur3 (seed
+# 42), so the probe is exact.  Two failure modes this kills (measured r02,
+# both asymmetric — they only bite at high parallelism, so they destroyed
+# N→4N scaling): AQE coalescing merges small kernel partitions into 1-2
+# tasks (serializing all kernel CPU; explicit repartition-by-num is
+# AQE-exempt), and plain hash(bucket) % n collides (~1/e of slots idle).
+# Labels depend only on n — cached per process.
+_PARTITION_LABELS: dict[int, list[int]] = {}
+
+
+def _bucket_labels(spark, n: int) -> list[int]:
+    if n not in _PARTITION_LABELS:
+        found: dict[int, int] = {}
+        lo = 0
+        while len(found) < n:
+            rows = (
+                spark.range(lo, lo + 64 * n)
+                .select("id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+                .collect()
+            )
+            for r in rows:
+                found.setdefault(int(r["p"]), int(r["id"]))
+            lo += 64 * n
+        _PARTITION_LABELS[n] = [found[b] for b in range(n)]
+    return _PARTITION_LABELS[n]
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()
@@ -57,11 +86,23 @@ def _matched_postings(index: InvertedIndex, terms: list[str],
                       qterms: DataFrame | None = None) -> DataFrame:
     """postings rows for the query vocabulary; uses an IN-list when the
     vocabulary is small (parquet row-group pruning on the sorted `term`
-    column), else a broadcast semi-join."""
+    column), else a broadcast semi-join.
+
+    The cutover matters for DRIVER time, not executor time: Catalyst
+    planning of an IN-list grows with its length (measured: a ~4000-term
+    IN-list costs seconds of serial plan time per batch — pure
+    non-scaling overhead), while a broadcast join plans in constant time;
+    and a large random term set touches most parquet row groups anyway, so
+    the IN-list's pruning advantage has vanished by then."""
     p = index.postings()
-    if len(terms) <= 2000 or qterms is None:
+    if len(terms) <= 256:
         return p.where(F.col("term").isin(terms))
-    return p.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tdf = (
+        qterms.select("term").distinct()
+        if qterms is not None
+        else index.spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    return p.join(F.broadcast(tdf), "term")
 
 
 def bm25_topk(
@@ -166,12 +207,26 @@ def bm25_topk(
     # cluster uses for shuffle partition sizing.
     dp = max(index.spark.sparkContext.defaultParallelism, 1)
     n_buckets = int(min(index.meta["n_segments"], max(2 * dp, 8)))
+    labels = _bucket_labels(index.spark, n_buckets)
+    label_arr = F.array(*[F.lit(v) for v in labels])
+    route = F.element_at(
+        label_arr, (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int")
+    )
+
+    def kernel_partition(batches):
+        pdfs = [b for b in batches]
+        if pdfs:
+            whole = pd.concat(pdfs, ignore_index=True)
+            if len(whole):
+                yield kernel(whole)
+
     seg_topk = (
-        mp.withColumn(
-            "task_bucket", F.pmod(F.col("segment"), F.lit(n_buckets))
+        mp.withColumn("pkey", route)
+        .repartition(n_buckets, "pkey")
+        .drop("pkey")
+        .mapInPandas(
+            kernel_partition, schema="sid long, doc_id long, score double"
         )
-        .groupBy("task_bucket")
-        .applyInPandas(kernel, schema="sid long, doc_id long, score double")
     )
     # rank per SET, then fan out to qids JVM-side (broadcast join): the
     # window sorts k·segments·distinct_sets rows, not ×batch_size

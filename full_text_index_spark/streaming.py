@@ -95,16 +95,11 @@ def append_generation(
         "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
     )
 
-    # single tokenization (mirrors build_index): doclen = Σ tf per doc
-    aggs = [F.count("*").alias("tf")]
-    pack_cols = ["segment", "term", "doc_id", "tf", "doclen"]
-    if positions:
-        aggs.append(F.sort_array(F.collect_list("tpos")).alias("positions"))
-        pack_cols.append("positions")
-    tf = stream(docs).groupBy("segment", "term", "doc_id").agg(*aggs)
+    # pass A (mirrors build_index): doclen = token count per doc, map-side
+    # combined — the doc-stats shuffle moves ~one row per document
     doc_stats = (
-        tf.groupBy("doc_id", "segment")
-        .agg(F.sum("tf").alias("doclen"))
+        stream(docs).groupBy("doc_id", "segment")
+        .agg(F.count("*").alias("doclen"))
         .join(docs.select("doc_id", "url"), "doc_id")
         .withColumn("generation", F.lit(generation))
     )
@@ -117,12 +112,32 @@ def append_generation(
     n_docs, sum_dl = ds_all.agg(F.count("*"), F.sum("doclen")).first()
     avgdl = float(sum_dl) / float(n_docs)
 
-    tfn = tf.join(ds_all.select("doc_id", "doclen"), "doc_id")
+    # pass B (mirrors build_index): doclen joins the DOCUMENT rows and
+    # rides the explode; raw token stream → one (segment, term) shuffle →
+    # aggregating packer
+    docs_dl = docs.join(ds_all.select("doc_id", "doclen"), "doc_id")
+    sort_keys = ["segment", "term", "doc_id"] + (["tpos"] if positions else [])
+    pack_cols = ["segment", "term", "doc_id", "doclen"] + (
+        ["tpos"] if positions else []
+    )
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = (
+        stream(docs_dl)
+        .select(*pack_cols)  # prune pre-shuffle: tpos ships only when packed
+        .repartition(sp, "segment", "term")
+    )
+    if positions:
+        pack_in = shuffled.sortWithinPartitions(*sort_keys)
+    else:
+        # tf aggregation runs JVM-side on the already-clustered partitions
+        # (no second exchange); Arrow ships one row per posting
+        pack_in = (
+            shuffled.groupBy("segment", "term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+            .sortWithinPartitions(*sort_keys)
+        )
     packed = (
-        tfn.repartition(sp, "segment", "term")
-        .sortWithinPartitions("segment", "term", "doc_id")
-        .select(*pack_cols)
+        pack_in
         .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
         .withColumn("generation", F.lit(generation))
     )

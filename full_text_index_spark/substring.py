@@ -69,9 +69,11 @@ def make_gram_stream(k: int):
                 lambda i: t.substr(i, F.lit(k)),
             ),
         ).otherwise(F.array().cast("array<string>"))
+        carry = [c for c in ("doclen",) if c in docs.columns]
         return (
             docs.select(
-                "doc_id", "segment", F.posexplode(grams).alias("p0", "term")
+                "doc_id", "segment", *carry,
+                F.posexplode(grams).alias("p0", "term"),
             )
             .withColumn("tpos", F.col("p0") + 1)
             .drop("p0")
