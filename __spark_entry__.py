@@ -478,6 +478,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
+# threshold for the CONTRACT run only: the synthetic embeddings are
+# near-random (max pairwise cos ≈ 0.46 at sf0.01), so the production
+# default (0.9) would return zero rows and test nothing; 0.3 exercises
+# the identical plan with a real result set
+EMB_NEARDUP_THRESHOLD = 0.3
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_pairs(
+        _embeddings(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+    ).orderBy("vec_a", "vec_b")
+
+
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_stats(_embeddings(spark, sf_dir)).select(
         F.col("label").cast("long").alias("label"), "n", "mean_norm_i"
@@ -536,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash_sig,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -973,6 +987,27 @@ ranked AS (
 )
 SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
 ORDER BY qid, rank
+""".strip()
+
+    # embedding near-dup pairs: identical multi-table blocking, a<b self-join
+    any_table_ab = " OR ".join(
+        f"({_lsh_bucket_sql('a.embedding', S.LSH_PLANES, t * S.LSH_PLANES)}) = "
+        f"({_lsh_bucket_sql('b.embedding', S.LSH_PLANES, t * S.LSH_PLANES)})"
+        for t in range(S.LSH_TABLES)
+    )
+    sqls["dedup_embedding_pairs"] = f"""
+WITH cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(floor(
+           {_dot_sql('a.embedding', 'b.embedding')}
+           / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) * 10000
+         ) AS BIGINT) AS sim_i
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ({any_table_ab})
+)
+SELECT vec_a, vec_b, sim_i FROM cand
+WHERE sim_i >= {int(EMB_NEARDUP_THRESHOLD * 10_000)}
+ORDER BY vec_a, vec_b
 """.strip()
 
     nc, npb, its = S.IVF_N_CENTROIDS, S.IVF_NPROBE, S.IVF_KMEANS_ITERS

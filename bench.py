@@ -176,6 +176,12 @@ def main() -> None:
             timed("dedup_exact", lambda: D.exact_dedup(docs).count())
             timed("dedup_minhash_pairs", lambda: D.minhash_lsh_pairs(docs).count())
             timed("dedup_simhash", lambda: D.simhash(docs).count())
+            timed(
+                "dedup_embedding_pairs",
+                lambda: S.embedding_near_pairs(
+                    emb, threshold=entrymod.EMB_NEARDUP_THRESHOLD
+                ).count(),
+            )
             timed("ann_cosine_topk",
                   lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10).collect())
             timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())

@@ -162,6 +162,68 @@ def lsh_cosine_topk(
     )
 
 
+NEAR_DUP_THRESHOLD = 0.9
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the embedding analog of
+    dedup.minhash_lsh_pairs: multi-table sign-pattern LSH blocks the
+    self-join (a pair is a candidate iff it shares a bucket in ANY table),
+    then exact cosine keeps pairs at ``sim ≥ threshold``.
+
+    Scale path: the N² self-join becomes per-(table, bucket) joins whose
+    fan-out is bounded by bucket population (2^n_planes buckets per table);
+    the exact re-check touches only candidates.  Like the ANN operators the
+    blocking is approximate-but-deterministic — the DuckDB oracle applies
+    the identical planes, so results match exactly; recall is tuned by
+    (n_tables, n_planes) exactly as in lsh_cosine_topk.
+    Output (vec_a, vec_b, sim_i = floor(cos·10^4)) with vec_a < vec_b."""
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes)
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    banded = embeddings.select(
+        F.col(id_col), F.explode(tables).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.floor(sim * 10_000).cast("long").alias("sim_i"),
+        )
+        .where(F.col("sim_i") >= int(threshold * 10_000))
+    )
+
+
 IVF_N_CENTROIDS = 16
 IVF_NPROBE = 10
 IVF_KMEANS_ITERS = 2
