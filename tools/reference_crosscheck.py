@@ -32,6 +32,7 @@ import struct
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -191,16 +192,20 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
         # TEXT from <name> itself (SAu.c:199-228) — the index name must be
         # the flat text path
         idx_path = flat_path
+        t0 = time.perf_counter()
         subprocess.run(
             [os.path.join(utils, "build_index"), flat_path, idx_path],
             check=True, capture_output=True,
         )
+        t_ref_build = time.perf_counter() - t0
         with open(pat_path, "rb") as fh:
             pat_bytes = fh.read()
+        t0 = time.perf_counter()
         rc = subprocess.run(
             [os.path.join(utils, "run_queries"), idx_path, "C", "V"],
             input=pat_bytes, capture_output=True, check=True,
         )
+        t_ref_count = time.perf_counter() - t0
         _, ref_counts = parse_verbose(rc.stdout, with_positions=False)
         rl = subprocess.run(
             [os.path.join(utils, "run_queries"), idx_path, "L", "V"],
@@ -209,12 +214,16 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
         _, ref_pos = parse_verbose(rl.stdout, with_positions=True)
 
         gram_root = os.path.join(work, "grams")
+        t0 = time.perf_counter()
         build_gram_index(spark, docs, gram_root, k=3, n_segments=4)
+        t_eng_build = time.perf_counter() - t0
         gidx = InvertedIndex.open(spark, gram_root)
+        t0 = time.perf_counter()
         eng_counts = {
             r["pattern"]: r["n_occurrences"]
             for r in substring_count(gidx, uniq).collect()
         }
+        t_eng_count = time.perf_counter() - t0
         eng_pos: dict[str, list[int]] = {p: [] for p in uniq}
         for r in substring_locate(gidx, uniq).collect():
             eng_pos[r["pattern"]].append(
@@ -233,6 +242,21 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
                       f"engine={sorted(eng_pos[p])[:5]}... "
                       f"reference={ref_pos.get(p, [])[:5]}...")
         tot = sum(ref_counts.values())
+        # informational single-node timing on the identical corpus+workload.
+        # Read with the scale framing in mind: the reference is a C suffix
+        # array with microsecond binary-search lookups — unbeatable per
+        # query at KB-MB corpus sizes, but single-machine-bound; the engine
+        # pays Spark's per-job constants here and wins by partitioning at
+        # the corpus sizes the reference cannot load at all.
+        import json as _json
+        print(_json.dumps({
+            "timing_note": "same corpus+workload, informational",
+            "corpus_bytes": acc, "n_patterns": len(uniq),
+            "ref_build_s": round(t_ref_build, 2),
+            "ref_count_batch_s": round(t_ref_count, 3),
+            "engine_gram_build_s": round(t_eng_build, 2),
+            "engine_count_batch_s": round(t_eng_count, 2),
+        }), file=sys.stderr)
         if bad == 0:
             print(f"PASS: {len(uniq)} patterns, {tot} occurrences — counts "
                   f"and exact positions match the reference sau index")
