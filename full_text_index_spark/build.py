@@ -341,8 +341,27 @@ def token_stream(docs: DataFrame) -> DataFrame:
 
 
 # immutable format parameters: resuming with different values would mislabel
-# the already-written segments (ADVICE r01)
-_IMMUTABLE_META = ("n_segments", "block_size", "tokenizer", "positions", "unit")
+# the already-written segments (ADVICE r01).  "format" is included so an
+# index written by an older on-disk layout refuses to resume instead of
+# mixing partition layouts (ADVICE r02)
+_IMMUTABLE_META = (
+    "n_segments", "block_size", "tokenizer", "positions", "unit", "format",
+)
+
+
+def _clean_stale_index(paths: IndexPaths) -> None:
+    """Non-resume rebuild over an existing index dir: dynamic partition
+    overwrite only rewrites TOUCHED partitions, so stale segments (or an
+    older layout, e.g. v3's segment=* vs v4's generation=/segment=) would
+    survive a plain rebuild-in-place.  resume=False therefore deletes every
+    derived artifact first (ADVICE r02)."""
+    import shutil
+
+    for d in (paths.postings, paths.doc_stats, paths.term_stats,
+              paths.manifest_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if os.path.exists(paths.meta):
+        os.remove(paths.meta)
 
 
 def _validate_resume_meta(paths: IndexPaths, new_meta: dict) -> None:
@@ -389,6 +408,8 @@ def build_index(
     passes a character k-gram stream; ``unit`` labels it in the meta).
     """
     paths = IndexPaths(out_dir)
+    if not resume:
+        _clean_stale_index(paths)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     build_id = build_id or f"build-{int(time.time())}"
     # per-phase wall clock, recorded in meta (build_index.c:62-64 analog)

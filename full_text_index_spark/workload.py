@@ -26,6 +26,16 @@ a scalable two-level prefix sum — so reference-generated workloads run
 unchanged against the Spark engine and engine-generated workloads run
 against the reference.
 
+CROSS-TOOL INTERCHANGE IS SINGLE-BYTE-CORPUS ONLY (ADVICE r02): the
+reference formats count BYTES (fixed byte-length patterns, byte offsets
+into the flat file) while the engine's flat-offset mapping counts CHARS
+(``F.length``).  On an ASCII/Latin-1 corpus — which is what the reference's
+Pizza&Chili byte-text world and our gentext fixtures are — the two agree
+exactly.  On a multi-byte corpus they do not; ``read_patterns_file``
+detects the tell-tale failure (a fixed-length slice landing mid-character)
+and raises a clear error instead of corrupting patterns, and
+``gen_patterns`` never emits a pattern whose byte and char lengths differ.
+
 Scale notes: generators emit QUERY WORKLOADS (hundreds-thousands of rows) —
 driver-side by definition.  The corpus-touching parts stay distributed: doc
 sampling is a hash-ordered ``limit`` (TakeOrdered, no global window), and
@@ -101,10 +111,18 @@ def read_patterns_file(path: str) -> tuple[dict, list[str]]:
             f"{path}: truncated — header promises {number}×{length} bytes, "
             f"got {len(body)}"
         )
-    pats = [
-        body[i * length:(i + 1) * length].decode("utf-8")
-        for i in range(number)
-    ]
+    pats = []
+    for i in range(number):
+        chunk = body[i * length:(i + 1) * length]
+        try:
+            pats.append(chunk.decode("utf-8"))
+        except UnicodeDecodeError:
+            raise ValueError(
+                f"{path}: pattern {i} is not valid UTF-8 — the fixed "
+                "byte-length slicing split a multi-byte character; "
+                "reference workload interchange requires a single-byte "
+                "(ASCII) corpus (see module docstring)"
+            ) from None
     return meta, pats
 
 

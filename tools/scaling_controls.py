@@ -69,10 +69,12 @@ def _spark_burn(cpus: int) -> float:
     spark = get_spark(f"ctl-burn-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     n_tasks = 2 * cpus
     labels = _bucket_labels(spark, n_tasks)
+    # cast to long: the probe hashed int64 range ids; an int32 literal would
+    # hash differently and silently collide (ADVICE r02)
     df = spark.range(0, n_tasks).select(
         F.col("id"),
         F.element_at(
-            F.array(*[F.lit(v) for v in labels]),
+            F.array(*[F.lit(v).cast("long") for v in labels]),
             (F.pmod(F.col("id"), F.lit(n_tasks)) + 1).cast("int"),
         ).alias("pkey"),
     ).repartition(n_tasks, "pkey")
@@ -80,8 +82,13 @@ def _spark_burn(cpus: int) -> float:
     def burn(batches):
         c0 = time.process_time()
         n = sum(len(b) for b in batches)
+        # burn PROPORTIONALLY to rows received (one row per task under
+        # correct routing): a collided partition holding 2 rows burns 2×,
+        # an empty partition yields immediately — so routing failures LOWER
+        # the measured effective concurrency instead of being masked by a
+        # fixed-duration spin (ADVICE r02)
         s = 0
-        while time.process_time() - c0 < _BURN_SECONDS:
+        while time.process_time() - c0 < _BURN_SECONDS * n:
             s += 1
         yield pd.DataFrame({"n": [n], "cpu": [time.process_time() - c0]})
 
