@@ -236,8 +236,10 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
+# j-dependent multiplier (see similarity._plane_weight: the old shared
+# multiplier correlated adjacent planes and collapsed buckets)
 PLANE_W = (
-    "((i * 2654435761 + {j} * 40503 + 7) % "
+    "((i * (2654435761 + 40503 * {j}) + 7 * ({j} + 1)) % "
     f"{S.PLANE_MOD}) - {S.PLANE_SUB}"
 )
 
@@ -962,11 +964,14 @@ SELECT qid, rank::INT AS rank, vec_id, sim_i FROM ranked WHERE rank <= 10
 ORDER BY qid, rank
 """.strip()
 
-    # multi-table LSH: candidate iff bucket matches in ANY table (table t
-    # uses planes t·n_planes .. t·n_planes+n_planes−1)
+    # multi-table LSH with query-side multiprobe: candidate iff, in ANY
+    # table (table t uses planes t·n_planes .. t·n_planes+n_planes−1), the
+    # buckets are within Hamming distance LSH_PROBE_RADIUS
     any_table = " OR ".join(
-        f"({_lsh_bucket_sql('e.embedding', S.LSH_PLANES, t * S.LSH_PLANES)}) = "
+        f"bit_count(xor("
+        f"({_lsh_bucket_sql('e.embedding', S.LSH_PLANES, t * S.LSH_PLANES)}), "
         f"({_lsh_bucket_sql('q.qvec', S.LSH_PLANES, t * S.LSH_PLANES)})"
+        f")) <= {S.LSH_PROBE_RADIUS}"
         for t in range(S.LSH_TABLES)
     )
     sqls["ann_lsh_topk"] = f"""

@@ -70,12 +70,15 @@ def test_embedding_near_pairs_exact_on_candidates(emb):
     ids = np.array([r["vec_id"] for r in rows])
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
-    # replicate the deterministic integer hyperplanes
+    # replicate the deterministic integer hyperplanes (j-dependent
+    # multiplier — see similarity._plane_weight)
     n_planes_total = LSH_PLANES * LSH_TABLES
     dims = np.arange(1, V.shape[1] + 1, dtype=np.int64)
     planes = np.empty((n_planes_total, V.shape[1]), dtype=np.float64)
     for j in range(n_planes_total):
-        planes[j] = ((dims * 2654435761 + j * 40503 + 7) % PLANE_MOD) - PLANE_SUB
+        planes[j] = (
+            (dims * (2654435761 + 40503 * j) + 7 * (j + 1)) % PLANE_MOD
+        ) - PLANE_SUB
     signs = (V @ planes.T > 0).astype(np.int64)  # (n, planes)
     buckets = np.zeros((len(ids), LSH_TABLES), dtype=np.int64)
     for t in range(LSH_TABLES):
@@ -99,3 +102,100 @@ def test_embedding_near_pairs_exact_on_candidates(emb):
     for k in want:
         assert abs(got[k] - want[k]) <= 1  # float64 fold order: <=1 ulp at 1e4
     assert len(want) > 0  # the fixture must actually exercise the path
+
+
+def test_seq_dot_kernel_bit_parity(spark):
+    """The Arrow kernel dot (np.cumsum sequential fold) must be BIT-identical
+    to the JVM zip_with+aggregate fold — the property that lets the hot
+    paths run in numpy while the DuckDB oracle keeps hashing clean."""
+    import numpy as np
+    import pandas as pd
+
+    from full_text_index_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "a": [rng.standard_normal(d).astype(np.float32)
+                  for d in [64] * 40 + [1, 3, 17]],
+            "b": [rng.standard_normal(d).astype(np.float32)
+                  for d in [64] * 40 + [1, 3, 17]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        S._dot(F.col("a"), F.col("b")).alias("jvm"),
+        S.seq_dot(F.col("a"), F.col("b")).alias("kern"),
+    ).collect()
+    for r in rows:
+        assert r["jvm"] == r["kern"], (r["jvm"], r["kern"])  # exact, not approx
+
+
+def test_lsh_bucket_kernel_parity(spark):
+    """Kernel-computed table buckets == the JVM lsh_bucket expression for
+    every table (sign decisions near zero depend on fold order, so this must
+    be exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from full_text_index_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"v": [rng.standard_normal(32).astype(np.float32) for _ in range(200)]}
+    )
+    df = spark.createDataFrame(pdf)
+    n_planes, n_tables = 5, 3
+    kern = S._make_buckets_udf(n_planes, n_tables)
+    cols = [
+        S.lsh_bucket(F.col("v"), n_planes, plane_offset=t * n_planes).alias(f"j{t}")
+        for t in range(n_tables)
+    ]
+    rows = df.select(kern(F.col("v")).alias("k"), *cols).collect()
+    for r in rows:
+        assert list(r["k"]) == [r[f"j{t}"] for t in range(n_tables)]
+
+
+def test_adaptive_planes_candidate_volume_linear(spark):
+    """VERDICT r02 #3: with the adaptive plane count the LSH blocking's
+    candidate volume must grow ~linearly in N (fixed planes grow it
+    quadratically).  Synthetic pseudo-random vectors, target bucket
+    population held constant; 4× the vectors must give well under 16× (the
+    quadratic signature) the candidates."""
+    from pyspark.sql import functions as F
+
+    from full_text_index_spark.functions import similarity as S
+
+    def make(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (F.pmod(F.hash(F.col("id"), i), F.lit(1000)) - 500)
+                .cast("float"),
+            ).alias("embedding"),
+        )
+
+    target = 50
+
+    def cand_count(n):
+        emb = make(n)
+        planes = S.adaptive_planes(n, target_pop=target)
+        banded = S._banded(emb, "vec_id", "embedding", planes, S.LSH_TABLES)
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).count()
+        ), planes
+
+    c1, p1 = cand_count(2000)
+    c4, p4 = cand_count(8000)
+    assert p4 > p1  # the plane count actually adapted
+    ratio = c4 / max(c1, 1)
+    assert ratio < 8.0, f"candidate volume grew {ratio:.1f}x for 4x vectors"
