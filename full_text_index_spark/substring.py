@@ -42,6 +42,7 @@ corpus size.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,24 +136,38 @@ def _gram_k(index: InvertedIndex) -> int:
     return int(unit.split("-", 1)[1])
 
 
-def substring_locate(index: InvertedIndex, patterns: list[str]) -> DataFrame:
-    """`locate` for arbitrary substrings (reference: utils/interface.h:66):
-    every exact, case-sensitive, OVERLAPPING occurrence as
-    (pattern, doc_id, cpos) with cpos the 1-based character position —
-    answered entirely from the k-gram postings (no text access).
+# docID/position packing for the verify kernel's membership keys:
+# key = doc_id · 2^32 + tpos (documented bounds: doc_id < 2^31, positions
+# < 2^32 — positions are per-document char offsets, far below that)
+_KEY_SHIFT = np.int64(1) << np.int64(32)
 
-    Patterns shorter than the index's k are rejected — route them through
-    the scan path (scan_substring_locate / substring_search)."""
-    k = _gram_k(index)
+# above this many a-priori candidates (Σ cf of the chosen rarest grams) the
+# candidate set no longer belongs on the driver — fall back to the
+# all-windows join plan, which never materializes candidates centrally
+CAND_DRIVER_CAP = 1_000_000
+
+# below this total posting volume (Σ cf over ALL window grams) the
+# all-windows join is a single cheap job — the rarest-first plan's extra
+# driver round-trips (stats lookup, candidate collect, verify job) would
+# cost more than they save.  The chooser is COST-BASED: both numbers come
+# free from term_stats before any decode happens.
+ALLJOIN_CHEAP_CF = 250_000
+
+
+def _locate_via_all_windows(index: InvertedIndex,
+                            patterns: list[str]) -> DataFrame:
+    """The r02 plan: decode EVERY window gram's positions, join against a
+    broadcast (pattern, slot, gram) table, keep aligned starts hit by all
+    slots.  Exact, fully distributed, constant stage count — but its decode
+    cost is O(Σ posting lengths of ALL window grams), so a pattern
+    containing a head gram ("th ", " a ") decodes that gram's entire
+    corpus-wide position list.  Kept as the fallback for workloads whose
+    rarest gram is still too common to stage candidates on the driver."""
     spark = index.spark
     slot_rows = []
     for p in patterns:
-        if len(p) < k:
-            raise ValueError(
-                f"pattern {p!r} shorter than gram size {k}; use the scan path"
-            )
-        for i in range(len(p) - k + 1):
-            slot_rows.append((p, i, p[i:i + k], len(p) - k + 1))
+        for i in range(len(p) - _gram_k(index) + 1):
+            slot_rows.append((p, i, p[i:i + _gram_k(index)], len(p) - _gram_k(index) + 1))
     slots = spark.createDataFrame(
         slot_rows, "pattern string, slot int, term string, n_slots int"
     )
@@ -171,6 +186,275 @@ def substring_locate(index: InvertedIndex, patterns: list[str]) -> DataFrame:
         .where(F.col("n_hit") == F.col("n_slots"))
         .select("pattern", "doc_id", "cpos")
     )
+
+
+def _greedy_cover(windows: list[str], cf: dict[str, int],
+                  k: int) -> list[int]:
+    """Minimal-ish set of window slots covering every char of the pattern,
+    greedily preferring rare grams: slots sorted by (cf, slot); a slot is
+    taken iff it covers a still-uncovered char.  Slot 0 and the last slot
+    are always in the cover (chars 0 and L−1 have no other window), so the
+    cover verifies the pattern's full extent.  Verifying only a COVER is
+    exact: if every cover window matches at its aligned offset, every char
+    of P is pinned by some matched window."""
+    L = len(windows) + k - 1
+    order = sorted(range(len(windows)), key=lambda s: (cf[windows[s]], s))
+    covered = np.zeros(L, dtype=bool)
+    cover: list[int] = []
+    for s in order:
+        if not covered[s:s + k].all():
+            cover.append(s)
+            covered[s:s + k] = True
+        if covered.all():
+            break
+    return sorted(cover)
+
+
+def _make_verify_kernel(need: dict, n_segments: int):
+    """mapInPandas kernel over the VERIFY grams' posting rows: for each row,
+    decode ONLY the blocks containing a candidate's doc (block directory →
+    searchsorted, the same skip machinery the BM25 MaxScore path uses) and
+    confirm (doc, pos) membership.  Emits one row per confirmed check, plus
+    one stats row (cand_id = −1, check_id = decoded bytes) per posting row
+    touched, so plan benchmarks can report decoded volume."""
+    import pandas as pd
+
+    from full_text_index_spark.codec import decode_gaps, varbyte_decode
+
+    def verify(iterator):
+        out_cand: list[np.ndarray] = []
+        out_chk: list[np.ndarray] = []
+        stats_bytes = 0
+        for pdf in iterator:
+            for row in pdf.itertuples(index=False):
+                g = need.get(row.term)
+                if g is None:
+                    continue
+                docs_n, pos_n, cand_n, chk_n = g
+                m = (docs_n % n_segments) == row.segment
+                if not m.any():
+                    continue
+                dN, pN, aN, cN = docs_n[m], pos_n[m], cand_n[m], chk_n[m]
+                block_last = np.asarray(row.block_last, dtype=np.int64)
+                doc_off = np.asarray(row.block_doc_off, dtype=np.int64)
+                tf_off = np.asarray(row.block_tf_off, dtype=np.int64)
+                pos_off = np.asarray(row.block_pos_off, dtype=np.int64)
+                doc_blob = np.frombuffer(row.doc_blob, np.uint8)
+                tf_blob = np.frombuffer(row.tf_blob, np.uint8)
+                pos_blob = np.frombuffer(row.pos_blob, np.uint8)
+                blk = np.searchsorted(block_last, dN, side="left")
+                ok = blk < len(block_last)
+                if not ok.any():
+                    continue
+                dN, pN, aN, cN, blk = dN[ok], pN[ok], aN[ok], cN[ok], blk[ok]
+                for bi in np.unique(blk):
+                    lo = doc_off[bi]
+                    hi = doc_off[bi + 1] if bi + 1 < len(doc_off) else len(doc_blob)
+                    prev = block_last[bi - 1] if bi > 0 else -1
+                    docs = decode_gaps(doc_blob[lo:hi], prev_last_doc=int(prev))
+                    tlo = tf_off[bi]
+                    thi = tf_off[bi + 1] if bi + 1 < len(tf_off) else len(tf_blob)
+                    tfs = varbyte_decode(tf_blob[tlo:thi])
+                    plo = pos_off[bi]
+                    phi = (pos_off[bi + 1] if bi + 1 < len(pos_off)
+                           else len(pos_blob))
+                    pg = varbyte_decode(pos_blob[plo:phi])
+                    stats_bytes += int(hi - lo) + int(thi - tlo) + int(phi - plo)
+                    # per-posting position reconstruction: gaps reset to an
+                    # absolute value at each posting start, and blocks align
+                    # with posting boundaries, so block-local decode is safe
+                    ends = np.cumsum(tfs)
+                    cs = np.cumsum(pg)
+                    base = np.concatenate(([0], cs[ends[:-1] - 1]))
+                    tpos = cs - np.repeat(base, tfs)
+                    have = np.repeat(docs, tfs) * _KEY_SHIFT + tpos
+                    sel = blk == bi
+                    needk = dN[sel] * _KEY_SHIFT + pN[sel]
+                    hit = np.isin(needk, have)
+                    if hit.any():
+                        out_cand.append(aN[sel][hit])
+                        out_chk.append(cN[sel][hit])
+        frames = []
+        if out_cand:
+            frames.append(pd.DataFrame({
+                "cand_id": np.concatenate(out_cand),
+                "check_id": np.concatenate(out_chk),
+            }))
+        frames.append(pd.DataFrame(
+            {"cand_id": [-1], "check_id": [stats_bytes]}
+        ))
+        yield pd.concat(frames, ignore_index=True)
+
+    return verify
+
+
+def substring_locate(index: InvertedIndex, patterns: list[str],
+                     *, plan: str = "auto",
+                     cand_cap: int = CAND_DRIVER_CAP,
+                     stats: dict | None = None) -> DataFrame:
+    """`locate` for arbitrary substrings (reference: utils/interface.h:66):
+    every exact, case-sensitive, OVERLAPPING occurrence as
+    (pattern, doc_id, cpos) with cpos the 1-based character position —
+    answered entirely from the k-gram postings (no text access).
+
+    Default plan is RAREST-GRAM-FIRST (VERDICT r02 #2): candidates come
+    from decoding only the least-frequent window gram of each pattern; the
+    remaining grams of a greedy char-cover are verified by BLOCK-TARGETED
+    position lookups (the block directory already used by BM25 MaxScore),
+    so a pattern containing a head gram ("th ", " a ") no longer decodes
+    that gram's corpus-wide position list — decode cost is
+    O(cf(rarest gram) + touched blocks), the Spark analog of backward
+    search starting from the rarest end (ssa/SSA.cpp:242-261 costs O(m)
+    regardless of char frequency; our cost is now governed by the rare
+    gram, not the common one).  Candidate counts are known a priori from
+    term_stats, so the plan falls back to the all-windows join
+    (``plan="alljoin"``) when candidates exceed ``cand_cap``.
+
+    Patterns shorter than the index's k are rejected — route them through
+    the scan path (scan_substring_locate / substring_search)."""
+    k = _gram_k(index)
+    spark = index.spark
+    patterns = list(dict.fromkeys(patterns))
+    for p in patterns:
+        if len(p) < k:
+            raise ValueError(
+                f"pattern {p!r} shorter than gram size {k}; use the scan path"
+            )
+    if plan == "alljoin":
+        return _locate_alljoin_entry(index, patterns)
+
+    windows = {p: [p[i:i + k] for i in range(len(p) - k + 1)] for p in patterns}
+    all_grams = sorted({g for ws in windows.values() for g in ws})
+    cf_rows = (
+        index.term_stats().where(F.col("term").isin(all_grams))
+        .select("term", "cf").collect()
+    )
+    cf = {g: 0 for g in all_grams}
+    cf.update({r["term"]: int(r["cf"]) for r in cf_rows})
+
+    empty = spark.createDataFrame([], "pattern string, doc_id long, cpos long")
+    # any absent window gram ⇒ the pattern cannot occur
+    live = [p for p in patterns if all(cf[g] > 0 for g in windows[p])]
+    if not live:
+        return empty
+
+    covers = {p: _greedy_cover(windows[p], cf, k) for p in live}
+    cand_slot = {p: min(covers[p], key=lambda s: (cf[windows[p][s]], s))
+                 for p in live}
+    total_cand = sum(cf[windows[p][cand_slot[p]]] for p in live
+                     if len(covers[p]) > 1)
+    all_cf = sum(cf[g] for p in live for g in set(windows[p]))
+    # cost-based choice ("auto"): the all-windows join is ONE job — when the
+    # whole decode is cheap it beats the rarest plan's extra driver round
+    # trips.  "rarest" forces the candidate+verify plan (benchmarks, tests);
+    # the driver-cap fallback still applies to either.
+    if plan == "auto" and all_cf <= ALLJOIN_CHEAP_CF:
+        return _locate_alljoin_entry(index, patterns)
+    if total_cand > cand_cap:
+        return _locate_alljoin_entry(index, patterns)
+
+    cand_slots_df = spark.createDataFrame(
+        [(p, cand_slot[p], windows[p][cand_slot[p]]) for p in live],
+        "pattern string, slot int, term string",
+    )
+    cand_grams = sorted({windows[p][cand_slot[p]] for p in live})
+    cands = (
+        term_positions(index, cand_grams)
+        .join(F.broadcast(cand_slots_df), "term")
+        .select(
+            "pattern", "doc_id",
+            (F.col("tpos") - F.col("slot")).alias("cpos"),
+        )
+        .where(F.col("cpos") >= 1)
+    )
+    no_verify = [p for p in live if len(covers[p]) == 1]
+    with_verify = [p for p in live if len(covers[p]) > 1]
+    final_parts = []
+    if no_verify:
+        final_parts.append(cands.where(F.col("pattern").isin(no_verify)))
+    if with_verify:
+        cand_pd = cands.where(F.col("pattern").isin(with_verify)).toPandas()
+        if len(cand_pd):
+            # driver-side check table: per candidate, one check per
+            # remaining cover slot; grouped per gram for the kernel
+            import pandas as pd
+
+            checks = {p: [(s, windows[p][s]) for s in covers[p]
+                          if s != cand_slot[p]] for p in with_verify}
+            n_checks = {p: len(checks[p]) for p in with_verify}
+            docs_arr = cand_pd["doc_id"].to_numpy(np.int64)
+            cpos_arr = cand_pd["cpos"].to_numpy(np.int64)
+            pat_arr = cand_pd["pattern"].to_numpy()
+            need: dict[str, list] = {}
+            chk_id = 0
+            for p in with_verify:
+                sel = np.flatnonzero(pat_arr == p)
+                if len(sel) == 0:
+                    continue
+                for (s, g) in checks[p]:
+                    need.setdefault(g, [[], [], [], []])
+                    need[g][0].append(docs_arr[sel])
+                    need[g][1].append(cpos_arr[sel] + s)
+                    need[g][2].append(sel.astype(np.int64))        # cand_id
+                    need[g][3].append(
+                        np.full(len(sel), chk_id, dtype=np.int64)
+                    )
+                    chk_id += 1
+            need_np = {
+                g: tuple(np.concatenate(a) for a in arrs)
+                for g, arrs in need.items()
+            }
+            verify_grams = sorted(need_np)
+            matched = index.postings().where(
+                F.col("term").isin(verify_grams)
+            ).select(
+                "segment", "term", "doc_blob", "tf_blob", "pos_blob",
+                "block_last", "block_doc_off", "block_tf_off", "block_pos_off",
+            )
+            kernel = _make_verify_kernel(need_np, index.meta["n_segments"])
+            raw = matched.mapInPandas(
+                kernel, schema="cand_id long, check_id long"
+            )
+            if stats is not None:
+                # diagnostic second pass: sum the kernel's stats rows
+                # (decoded block bytes) — bench-only, costs one extra job
+                stats["verify_decoded_bytes"] = int(
+                    raw.where(F.col("cand_id") < 0)
+                    .agg(F.sum("check_id")).first()[0] or 0
+                )
+                stats["n_candidates"] = int(len(cand_pd))
+                stats["cand_grams_cf"] = int(total_cand)
+            confirmed = raw.where(F.col("cand_id") >= 0)
+            req = spark.createDataFrame(
+                pd.DataFrame({
+                    "cand_id": np.arange(len(cand_pd), dtype=np.int64),
+                    "pattern": pat_arr,
+                    "doc_id": docs_arr,
+                    "cpos": cpos_arr,
+                    "n_checks": np.array(
+                        [n_checks[p] for p in pat_arr], dtype=np.int64
+                    ),
+                })
+            )
+            survivors = (
+                confirmed.distinct()
+                .groupBy("cand_id")
+                .agg(F.count("*").alias("n_ok"))
+                .join(F.broadcast(req), "cand_id")
+                .where(F.col("n_ok") == F.col("n_checks"))
+                .select("pattern", "doc_id", "cpos")
+            )
+            final_parts.append(survivors)
+    if not final_parts:
+        return empty
+    out = final_parts[0]
+    for part in final_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _locate_alljoin_entry(index: InvertedIndex, patterns: list[str]) -> DataFrame:
+    return _locate_via_all_windows(index, patterns)
 
 
 def _count_from_locate(located: DataFrame, patterns_df: DataFrame) -> DataFrame:

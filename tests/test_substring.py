@@ -129,3 +129,28 @@ def test_gram_index_meta(gram_setup):
     assert idx.meta["positions"] is True
     rep = idx.size_report()
     assert rep["index_bytes"] > 0 and rep["bits_per_token"] > 0
+
+
+def test_rarest_gram_plan_agrees_with_alljoin(gram_setup):
+    """The rarest-gram-first candidate+verify plan (default) and the
+    all-windows join plan are two independent implementations of the same
+    semantics — they must agree exactly, including on patterns built from
+    head grams (the case the new plan exists for) and repeated grams."""
+    idx, _ = gram_setup
+    pats = [p for p in PATTERNS if len(p) >= 3] + [
+        "a a",          # head-ish grams in this fixture
+        "aaaa",         # candidate gram == verify gram (repeat)
+        "row scan slow fast",   # long pattern, many slots
+        " and ",
+    ]
+    new = _collect_locate(substring_locate(idx, pats, plan="rarest"))
+    old = _collect_locate(substring_locate(idx, pats, plan="alljoin"))
+    assert new == old == brute(pats)
+
+
+def test_rarest_gram_plan_cap_fallback(gram_setup):
+    """cand_cap=0 forces the alljoin fallback — results identical."""
+    idx, _ = gram_setup
+    pats = ["row sca", "aaa"]
+    got = _collect_locate(substring_locate(idx, pats, cand_cap=0))
+    assert got == brute(pats)
