@@ -308,6 +308,10 @@ SUBSTR_COUNT_PATTERNS = [
     "row sca", "scan slow fast", "Row ", "a a", "alue part", "zzz zz",
 ]
 SUBSTR_LOCATE_PATTERNS = ["row sca", "scan slow fast", "w sc"]
+# shorter than the gram size k=3 — answered from the build-time short-gram
+# stats table (no scan); includes absent 1- and 2-char patterns ("z" and
+# "x" are outside the fixture alphabet, "Q" is case-bearing)
+SUBSTR_SHORT_PATTERNS = ["e", " t", "qu", "z", "zz", "Q", "w "]
 
 
 def _q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +330,13 @@ def _q_substring_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pattern", "doc_id", F.col("cpos").cast("long").alias("cpos"))
         .orderBy("pattern", "doc_id", "cpos")
     )
+
+
+def _q_substring_count_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_text_index_spark.substring import substring_count_short
+
+    idx = _gram_index_for(spark, sf_dir)
+    return substring_count_short(idx, SUBSTR_SHORT_PATTERNS).orderBy("pattern")
 
 
 BOOL_QUERIES: list[tuple[int, list[str]]] = [
@@ -536,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hk_entropy": _q_hk_entropy,
         "scan_count": _q_scan_count,
         "substring_count": _q_substring_count,
+        "substring_count_short": _q_substring_count_short,
         "substring_locate": _q_substring_locate,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
@@ -690,6 +702,18 @@ ORDER BY pattern
 WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
 SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
 ORDER BY pattern, doc_id, cpos
+""".strip()
+
+    sqls["substring_count_short"] = f"""
+WITH {_substr_hits_cte(SUBSTR_SHORT_PATTERNS)}
+SELECT probe.pattern AS pattern,
+       coalesce(a.n_docs, 0)::BIGINT AS n_docs_matching,
+       coalesce(a.n_occ, 0)::BIGINT AS n_occurrences
+FROM probe LEFT JOIN (
+  SELECT pattern, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM hits GROUP BY pattern
+) a USING (pattern)
+ORDER BY pattern
 """.strip()
 
     bool_vals = ", ".join(

@@ -154,3 +154,48 @@ def test_rarest_gram_plan_cap_fallback(gram_setup):
     pats = ["row sca", "aaa"]
     got = _collect_locate(substring_locate(idx, pats, cand_cap=0))
     assert got == brute(pats)
+
+
+def test_short_count_from_index(gram_setup):
+    """Patterns shorter than k are answered from the build-time short-gram
+    stats table — counts must equal the scan path's, including absent
+    patterns and multi-byte chars."""
+    from full_text_index_spark.substring import substring_count_short
+
+    idx, docs = gram_setup
+    pats = ["aa", "a", "zz", "Q", ", ", "é", "w"]
+    a = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in substring_count_short(idx, pats).collect()
+    }
+    b = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in scan_substring_count(docs, pats).collect()
+    }
+    assert a == b
+    assert a["zz"] == (0, 0)
+    assert a["aa"][1] >= 4  # overlapping: "aaaa" contains "aa" 3 times
+
+
+def test_mixed_length_count_routing(gram_setup):
+    """substring_count routes short patterns to the stats table and long
+    ones to the positional index in ONE call."""
+    idx, docs = gram_setup
+    pats = ["aa", "aaa", "Q", "row sca"]
+    a = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in substring_count(idx, pats).collect()
+    }
+    b = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in scan_substring_count(docs, pats).collect()
+    }
+    assert a == b
+
+
+def test_short_count_rejects_long_patterns(gram_setup):
+    from full_text_index_spark.substring import substring_count_short
+
+    idx, _ = gram_setup
+    with pytest.raises(ValueError, match="lengths 1"):
+        substring_count_short(idx, ["abcd"])

@@ -219,13 +219,25 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
         t_eng_build = time.perf_counter() - t0
         gidx = InvertedIndex.open(spark, gram_root)
         t0 = time.perf_counter()
+        # substring_count routes any length: patterns < k hit the
+        # short-gram stats table (indexed, no scan) — so a plen=2
+        # crosscheck exercises the short path against the real reference
         eng_counts = {
             r["pattern"]: r["n_occurrences"]
             for r in substring_count(gidx, uniq).collect()
         }
         t_eng_count = time.perf_counter() - t0
         eng_pos: dict[str, list[int]] = {p: [] for p in uniq}
-        for r in substring_locate(gidx, uniq).collect():
+        if plen >= 3:
+            loc = substring_locate(gidx, uniq)
+        else:
+            # locate for sub-gram patterns is the scan path by design (the
+            # short table stores counts; position lists for 1-2-char
+            # patterns are a scan-sized result anyway)
+            from full_text_index_spark.substring import scan_substring_locate
+
+            loc = scan_substring_locate(docs, uniq)
+        for r in loc.collect():
             eng_pos[r["pattern"]].append(
                 starts[r["doc_id"]] + r["cpos"] - 1
             )
