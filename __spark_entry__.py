@@ -339,6 +339,18 @@ def _q_substring_count_short(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_count_short(idx, SUBSTR_SHORT_PATTERNS).orderBy("pattern")
 
 
+def _q_display_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context windows around every occurrence of ARBITRARY (case- and
+    punctuation-bearing, token-crossing) patterns — the reference's display
+    for any pattern, off the k-gram index."""
+    from full_text_index_spark.substring import display_substring
+
+    idx = _gram_index_for(spark, sf_dir)
+    return display_substring(
+        idx, _documents(spark, sf_dir), SUBSTR_LOCATE_PATTERNS, numc=25
+    ).orderBy("pattern", "doc_id", "occ_idx")
+
+
 BOOL_QUERIES: list[tuple[int, list[str]]] = [
     (0, ["join", "hash"]),
     (1, ["dup", "stream", "row"]),
@@ -549,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_count": _q_substring_count,
         "substring_count_short": _q_substring_count_short,
         "substring_locate": _q_substring_locate,
+        "display_substring": _q_display_substring,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
@@ -714,6 +727,19 @@ FROM probe LEFT JOIN (
   FROM hits GROUP BY pattern
 ) a USING (pattern)
 ORDER BY pattern
+""".strip()
+
+    sqls["display_substring"] = f"""
+WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
+SELECT h.pattern, h.doc_id,
+       row_number() OVER (
+         PARTITION BY h.pattern, h.doc_id ORDER BY h.cpos
+       )::BIGINT AS occ_idx,
+       h.cpos::BIGINT AS cpos,
+       substr(d.text, greatest(h.cpos - 25, 1),
+              length(h.pattern) + 50) AS snippet
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+ORDER BY h.pattern, h.doc_id, occ_idx
 """.strip()
 
     bool_vals = ", ".join(

@@ -199,3 +199,27 @@ def test_short_count_rejects_long_patterns(gram_setup):
     idx, _ = gram_setup
     with pytest.raises(ValueError, match="lengths 1"):
         substring_count_short(idx, ["abcd"])
+
+
+def test_display_substring(gram_setup):
+    """Context snippets around every substring occurrence: occurrence
+    counts must equal substring_count's, positions match brute force, and
+    the snippet window is clipped at the text start like the reference's
+    display (ssa/SSA.cpp:340-433)."""
+    from full_text_index_spark.substring import display_substring
+
+    idx, docs = gram_setup
+    pats = ["row sca", "aaa", "Dup,"]
+    rows = display_substring(idx, docs, pats, numc=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["pattern"], r["doc_id"]), []).append(
+            (r["occ_idx"], r["cpos"], r["snippet"])
+        )
+    want = brute(pats)
+    assert {k: sorted(p for _, p, _ in v) for k, v in got.items()} == want
+    for (p, d), occs in got.items():
+        assert sorted(o for o, _, _ in occs) == list(range(1, len(occs) + 1))
+        for _, cpos, snip in occs:
+            lo = max(cpos - 5, 1)
+            assert snip == TEXTS[d][lo - 1:lo - 1 + len(p) + 10]
