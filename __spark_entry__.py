@@ -539,8 +539,13 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = MM.documents_as_payload(_documents(spark, sf_dir))
-    return MM.binary_features(docs).orderBy("doc_id")
+    """REAL media decode end-to-end: deterministic PPM/WAV payloads per doc
+    (the fixtures carry no media column), parsed by the pure-numpy decoders
+    — the oracle recomputes the decoded features in closed form from
+    doc_id, so header parsing + sample extraction + reductions are all
+    verified."""
+    docs = _documents(spark, sf_dir)
+    return MM.binary_features(MM.synth_payloads(docs)).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1223,21 +1228,42 @@ SELECT doc_id, len(l)::INT AS n_tokens, len(list_distinct(l))::INT AS n_distinct
 FROM tok_arrays ORDER BY doc_id
 """.strip()
 
-    # byte-exact (not codepoint) accounting: parse hex(encode(text)) two
-    # chars at a time so UTF-8 multi-byte text agrees with the engine's
-    # numpy byte view (ADVICE r01: the old ascii(c) form was ASCII-only)
-    byte_list = (
-        "list_transform(generate_series(0, octet_length(encode(text)) - 1), "
-        "i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT)"
-    )
-    byte_sum = f"list_reduce(list_prepend(0::BIGINT, {byte_list}), (a, b) -> a + b)"
+    # closed-form re-derivation of the DECODED features: the engine
+    # synthesizes payload bytes from doc_id, parses the PPM/WAV headers and
+    # reduces the raster/samples; the oracle computes the same integer
+    # streams directly — any header-parse or decode bug breaks the match
     sqls["multimodal_features"] = f"""
-SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       substr(hex(encode(text)), 1, 16) AS header_hex,
-       ({byte_sum} % 2147483647) AS checksum,
-       ({byte_sum} / octet_length(encode(text))::DOUBLE) AS fake_feature
-FROM documents ORDER BY doc_id
+WITH ppm_s AS (
+  SELECT doc_id, (8 + doc_id % 5) AS w, (6 + doc_id % 4) AS h,
+         (8 + doc_id % 5) * (6 + doc_id % 4) * 3 AS n,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(
+             generate_series(0, (8 + doc_id % 5) * (6 + doc_id % 4) * 3 - 1),
+             i -> (doc_id * 31 + 7 * i) % 256)),
+           (a, b) -> a + b) AS s
+  FROM documents WHERE doc_id % 2 = 0
+),
+wav_s AS (
+  SELECT doc_id, 64 + doc_id % 33 AS n,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, 64 + doc_id % 33 - 1),
+             i -> abs(((doc_id * 13 + 17 * i) % 65536) - 32768))),
+           (a, b) -> a + b) AS s_abs,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, 64 + doc_id % 33 - 1),
+             i -> (doc_id * 13 + 17 * i) % 65536)),
+           (a, b) -> a + b) AS s_words
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, 'ppm' AS kind, w::INT AS dim1, h::INT AS dim2,
+       n::BIGINT AS n_units, ((s * 10000) // n)::BIGINT AS mean_i,
+       (s % 2147483647)::BIGINT AS checksum
+FROM ppm_s
+UNION ALL
+SELECT doc_id, 'wav', {MM.WAV_RATE}::INT, 1::INT, n::BIGINT,
+       ((s_abs * 10000) // n)::BIGINT, (s_words % 2147483647)::BIGINT
+FROM wav_s
+ORDER BY doc_id
 """.strip()
 
     return sqls

@@ -198,21 +198,58 @@ def test_quality_score_values(spark):
     assert r["mean_tok_len_i"] == 3_0000  # (3+3+3)/3 = 3.0 → 30000
 
 
-def test_multimodal_features(spark, docs):
-    feats = {r["doc_id"]: r for r in
-             MM.binary_features(MM.documents_as_payload(docs)).collect()}
-    text1 = "the quick brown fox jumps over the lazy dog"
-    assert feats[1]["n_bytes"] == len(text1.encode())
-    assert feats[1]["header_hex"] == text1.encode()[:8].hex().upper()
-    assert feats[1]["checksum"] == sum(text1.encode()) % 2_147_483_647
-    assert math.isclose(
-        feats[1]["fake_feature"], sum(text1.encode()) / len(text1.encode())
-    )
+def test_decode_payload_real_ppm_and_wav():
+    """decode_payload REALLY parses: header fields round-trip, reductions
+    match closed-form integer math, corrupt payloads are rejected."""
+    for d in (0, 2, 7, 13, 198):
+        f = MM.decode_payload(MM.synth_payload(d))
+        if d % 2 == 0:
+            w, h = MM.ppm_dims(d)
+            n = w * h * 3
+            s = sum((d * 31 + 7 * i) % 256 for i in range(n))
+            assert f == {"kind": "ppm", "dim1": w, "dim2": h, "n_units": n,
+                         "mean_i": s * 10_000 // n,
+                         "checksum": s % 2_147_483_647}
+        else:
+            n = MM.wav_n_samples(d)
+            words = [(d * 13 + 17 * i) % 65536 for i in range(n)]
+            s_abs = sum(abs(wd - 32768) for wd in words)
+            assert f == {"kind": "wav", "dim1": MM.WAV_RATE, "dim2": 1,
+                         "n_units": n, "mean_i": s_abs * 10_000 // n,
+                         "checksum": sum(words) % 2_147_483_647}
 
 
-def test_decode_payload_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_payload(b"\x89PNG")
+def test_decode_payload_parses_headers_not_offsets():
+    """The PPM parser must honor the header (comments, multi-digit dims),
+    not assume fixed offsets."""
+    import numpy as np
+
+    raster = bytes(range(30)) * 12  # 10x4 RGB = 120 bytes... use 360
+    raster = bytes((i * 3) % 256 for i in range(10 * 12 * 3))
+    payload = b"P6\n# a comment\n10 12\n255\n" + raster
+    f = MM.decode_payload(payload)
+    assert (f["dim1"], f["dim2"], f["n_units"]) == (10, 12, 360)
+    assert f["checksum"] == int(np.sum(np.frombuffer(raster, np.uint8),
+                                       dtype=np.int64)) % 2_147_483_647
+
+
+def test_decode_payload_rejects_unknown_magic():
+    with pytest.raises(ValueError, match="unknown media magic"):
+        MM.decode_payload(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_payload(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_multimodal_features_pipeline(spark, docs):
+    """The Spark plumbing end-to-end: synth → binary column → Arrow-batched
+    decode must equal calling decode_payload directly."""
+    rows = MM.binary_features(MM.synth_payloads(docs)).collect()
+    for r in rows:
+        f = MM.decode_payload(MM.synth_payload(r["doc_id"]))
+        assert (r["kind"], r["dim1"], r["dim2"], r["n_units"], r["mean_i"],
+                r["checksum"]) == (
+            f["kind"], f["dim1"], f["dim2"], f["n_units"], f["mean_i"],
+            f["checksum"])
 
 
 def test_token_hash_matches_python_reference():
