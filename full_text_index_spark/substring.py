@@ -188,16 +188,22 @@ def append_gram_generation(
     char-gram stream).  The reference's indexes are immutable
     (utils/interface.h:34-44); here new text becomes substring-searchable
     without rebuilding the old generations."""
-    from full_text_index_spark.streaming import append_generation
+    from full_text_index_spark.build import prepare_corpus
+    from full_text_index_spark.streaming import GEN_SHIFT, append_generation
 
+    prepared = prepare_corpus(docs)
     append_generation(
-        spark, docs, out_dir, generation,
+        spark, prepared, out_dir, generation,
         n_segments=n_segments, block_size=block_size, positions=True,
         stream=make_gram_stream(k), unit=f"chargram-{k}",
     )
     # the short-pattern stats table gains its own generation partition
-    # (dynamic partition overwrite → idempotent replay, like the postings)
-    build_short_stats(spark, docs, out_dir, k, generation=generation)
+    # (dynamic partition overwrite → idempotent replay, like the postings);
+    # ids mirror the generation-shifted ones append_generation assigned
+    shifted = prepared.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(generation << GEN_SHIFT)
+    )
+    build_short_stats(spark, shifted, out_dir, k, generation=generation)
 
 
 def _gram_k(index: InvertedIndex) -> int:

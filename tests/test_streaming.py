@@ -142,3 +142,47 @@ def test_append_gram_generation_substring_union(spark, two_gen_corpus, tmp_path)
         t = by_url[url_of[r["doc_id"]]]
         cpos = r["cpos"]
         assert t[cpos - 1:cpos - 1 + 5] == "aba0 "
+
+
+def test_append_gram_generation_short_stats_union(spark, two_gen_corpus, tmp_path):
+    """The short-gram stats table is generation-partitioned: after an
+    incremental append, short-pattern counts equal a Python scan over the
+    UNION corpus, and replaying the append changes nothing (idempotent)."""
+    import pandas as pd
+
+    from full_text_index_spark.build import prepare_corpus
+    from full_text_index_spark.substring import (
+        append_gram_generation,
+        build_gram_index,
+        substring_count_short,
+    )
+
+    a, b = two_gen_corpus
+    root = str(tmp_path / "gidx_short")
+    da = prepare_corpus(spark.createDataFrame(a, CORPUS_SCHEMA))
+    build_gram_index(spark, da, root, k=3, n_segments=4, block_size=16)
+    append_gram_generation(
+        spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+        k=3, n_segments=4, block_size=16,
+    )
+    # replay generation 1 — dynamic partition overwrite must be a no-op
+    append_gram_generation(
+        spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+        k=3, n_segments=4, block_size=16,
+    )
+    idx = InvertedIndex.open(spark, root)
+
+    union = pd.concat([a, b], ignore_index=True)
+    texts = union["text"].tolist()
+    pats = ["ba", "a", "zq", "0 "]
+    got = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in substring_count_short(idx, pats).collect()
+    }
+    for p in pats:
+        n_docs = sum(1 for t in texts if p in t)
+        n_occ = sum(
+            sum(1 for i in range(len(t) - len(p) + 1) if t[i:i + len(p)] == p)
+            for t in texts
+        )
+        assert got[p] == (n_docs, n_occ), p
