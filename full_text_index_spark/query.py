@@ -675,7 +675,10 @@ def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
     if not index.meta.get("positions"):
         raise ValueError("index was built without positions=True")
 
-    matched = index.postings().where(F.col("term").isin(list(terms)))
+    # same IN-list → broadcast-semi-join cutover as BM25: a gram workload
+    # can carry thousands of distinct terms (Catalyst plans IN-lists in
+    # time proportional to their length)
+    matched = _matched_postings(index, list(terms))
 
     def decode(iterator):
         for pdf in iterator:
@@ -824,7 +827,7 @@ def term_count(index: InvertedIndex, terms: list[str]) -> DataFrame:
 def term_locate(index: InvertedIndex, terms: list[str]) -> DataFrame:
     """`locate` analog (reference: utils/interface.h:66): every (doc_id, tf)
     occurrence record of each term, decoded from the compressed postings."""
-    matched = index.postings().where(F.col("term").isin(list(terms)))
+    matched = _matched_postings(index, list(terms))
     return _decode_postings(matched).select("term", "doc_id", "tf")
 
 

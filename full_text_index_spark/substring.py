@@ -405,10 +405,13 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
 
     windows = {p: [p[i:i + k] for i in range(len(p) - k + 1)] for p in patterns}
     all_grams = sorted({g for ws in windows.values() for g in ws})
-    cf_rows = (
-        index.term_stats().where(F.col("term").isin(all_grams))
-        .select("term", "cf").collect()
-    )
+    ts = index.term_stats()
+    if len(all_grams) <= 256:
+        ts = ts.where(F.col("term").isin(all_grams))
+    else:  # constant-time planning for big workloads (IN-list grows linearly)
+        gdf = spark.createDataFrame([(g,) for g in all_grams], "term string")
+        ts = ts.join(F.broadcast(gdf), "term")
+    cf_rows = ts.select("term", "cf").collect()
     cf = {g: 0 for g in all_grams}
     cf.update({r["term"]: int(r["cf"]) for r in cf_rows})
 
@@ -485,9 +488,9 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
                 for g, arrs in need.items()
             }
             verify_grams = sorted(need_np)
-            matched = index.postings().where(
-                F.col("term").isin(verify_grams)
-            ).select(
+            from full_text_index_spark.query import _matched_postings
+
+            matched = _matched_postings(index, verify_grams).select(
                 "segment", "term", "doc_blob", "tf_blob", "pos_blob",
                 "block_last", "block_doc_off", "block_tf_off", "block_pos_off",
             )
