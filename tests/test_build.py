@@ -126,3 +126,69 @@ def test_resume_rejects_mismatched_format_params(spark, corpus_df, tmp_path):
     with pytest.raises(ValueError, match="immutable format parameter"):
         build_index(spark, corpus_df, root, n_segments=8, block_size=16,
                     resume=True)
+
+
+def test_non_resume_rebuild_cleans_stale_artifacts(spark, corpus_df, tmp_path):
+    """resume=False over an existing index dir deletes every derived
+    artifact first (ADVICE r02): dynamic partition overwrite only rewrites
+    TOUCHED partitions, so without the cleanup a layout change or removed
+    segment would leave stale parquet behind."""
+    root = str(tmp_path / "idx_clean")
+    build_index(spark, corpus_df, root, n_segments=4, block_size=16)
+    # plant stale artifacts a plain rebuild-in-place would not touch:
+    # an old-layout partition dir and an orphan manifest
+    stale_part = os.path.join(root, "postings", "segment=99")
+    os.makedirs(stale_part)
+    with open(os.path.join(stale_part, "zzz.parquet"), "w") as fh:
+        fh.write("stale")
+    paths = InvertedIndex.open(spark, root).paths
+    with open(paths.manifest(99), "w") as fh:
+        json.dump({"segment": 99}, fh)
+
+    build_index(spark, corpus_df, root, n_segments=4, block_size=16,
+                resume=False)
+    assert not os.path.exists(stale_part)
+    assert not os.path.exists(paths.manifest(99))
+    idx = InvertedIndex.open(spark, root)
+    segs = {r["segment"] for r in
+            idx.postings().select("segment").distinct().collect()}
+    assert segs == {0, 1, 2, 3}
+
+
+def test_bm25_query_batch_guard(tiny_index, spark):
+    """A mis-routed huge 'query' table fails fast with a clear error
+    instead of OOMing the driver (VERDICT r02 #5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from full_text_index_spark import query as qmod
+    from full_text_index_spark.query import bm25_topk
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("qid"),
+        F.array(F.lit("bababa0")).alias("terms"),
+    )
+    old = qmod.MAX_QUERY_BATCH_ROWS
+    qmod.MAX_QUERY_BATCH_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="query batch exceeds"):
+            bm25_topk(tiny_index, big, k=5).collect()
+    finally:
+        qmod.MAX_QUERY_BATCH_ROWS = old
+
+
+def test_large_term_set_plans_as_broadcast_join(tiny_index):
+    """>256-term vocabularies must plan as a broadcast semi-join, not an
+    IN-list (Catalyst plans IN-lists in time proportional to their length —
+    serial driver work; VERDICT r02 #4)."""
+    from full_text_index_spark.query import _matched_postings
+
+    terms = [f"zz{i}" for i in range(5000)]
+    plan = _matched_postings(tiny_index, terms)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert "zz4999" not in plan  # terms ride a relation, not the plan text
+    small_plan = (
+        _matched_postings(tiny_index, ["a", "b"])
+        ._jdf.queryExecution().toString()
+    )
+    assert "Join" not in small_plan  # small sets keep the pruning IN-list

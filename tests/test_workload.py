@@ -147,3 +147,23 @@ def test_workload_file_through_substring_index(spark, small_docs, tmp_path):
         docs_hit = sum(1 for t in texts if p in t)
         n_occ = sum(occ(t, p) for t in texts)
         assert got[p] == (docs_hit, n_occ), p
+
+
+def test_patterns_file_rejects_split_multibyte(tmp_path):
+    """A fixed-byte-length pattern file whose slicing splits a multi-byte
+    character must raise a clear interchange error, not corrupt patterns
+    (ADVICE r02: reference formats are byte-based; interchange is
+    single-byte-corpus-only)."""
+    import pytest
+
+    from full_text_index_spark.workload import read_patterns_file
+
+    path = str(tmp_path / "pats")
+    # header promises 2 patterns of 3 bytes; 'é' (2 bytes) straddles the
+    # first boundary: b"ab\xc3" | b"\xa9cd"
+    body = "abé".encode("utf-8") + b"cd"
+    with open(path, "wb") as fh:
+        fh.write(b"# number=2 length=3 file=x forbidden=\n")
+        fh.write(body[:6])
+    with pytest.raises(ValueError, match="single-byte"):
+        read_patterns_file(path)
