@@ -171,6 +171,11 @@ def main() -> None:
                     "substring_batch",
                     lambda: substring_count(gidx, sub_patterns).collect(),
                 )
+                short_pats = sorted({p[:2] for p in sub_patterns} | {"zq"})
+                timed(
+                    "substring_short_batch",
+                    lambda: substring_count(gidx, short_pats).collect(),
+                )
             finally:
                 shutil.rmtree(gram_root, ignore_errors=True)
             timed("dedup_exact", lambda: D.exact_dedup(docs).count())
@@ -184,6 +189,12 @@ def main() -> None:
             )
             timed("ann_cosine_topk",
                   lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10).collect())
+            timed("ann_lsh_topk",
+                  lambda: S.lsh_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
+                  .collect())
+            timed("ann_ivf_topk",
+                  lambda: S.ivf_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
+                  .collect())
             timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())
             timed("quality_score", lambda: TS.quality_score(docs).count())
     finally:

@@ -476,10 +476,21 @@ def ivf_cosine_topk(
             F.col(vec_col).alias("cvec"),
         )
     )
+    spark = embeddings.sparkSession
     for _ in range(kmeans_iters):
         cents_n = with_norm(cents, "cvec", out="cnrm")
         assigned_i = _assign_to_centroids(emb_n, cents_n, id_col, vec_col)
-        cents = _kmeans_step(assigned_i, id_col, vec_col)
+        # materialize the centroid table (n_centroids tiny rows) each pass:
+        # without this every Lloyd iteration's lineage CHAINS — pass t
+        # recomputes passes 1..t−1's assignments and sums, and the final
+        # scoring recomputes the whole refinement again.  collect →
+        # createDataFrame round-trips exact float64s, so values are
+        # bit-identical to the lazy plan (and to the oracle).
+        cents = spark.createDataFrame(
+            [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
+             for r in _kmeans_step(assigned_i, id_col, vec_col).collect()],
+            "cent_id long, cvec array<double>",
+        )
     cents_n = with_norm(cents, "cvec", out="cnrm")
     assigned = _assign_to_centroids(emb_n, cents_n, id_col, vec_col)
     lists = assigned.where(F.col("crank") == 1).select(
