@@ -195,6 +195,13 @@ Raw bench lines (best per level; `all_runs` lists every repetition):
 
 Full per-op timings are in the `queries` field of each line.
 """)
+        # hand-maintained evidence sections (substring-plan bytes, full-op
+        # tables, regression notes) live in BENCH/EXTRA.md so regenerating
+        # this file never silently drops them
+        extra = os.path.join(REPO, "BENCH", "EXTRA.md")
+        if os.path.exists(extra):
+            with open(extra) as ef:
+                fh.write("\n" + ef.read())
     print(f"wrote {path}")
     print(f"build eff={b_eff} query eff={q_eff}")
 
