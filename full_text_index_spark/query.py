@@ -813,9 +813,16 @@ def term_count(index: InvertedIndex, terms: list[str]) -> DataFrame:
     matching docs (df) per term; absent terms → df=0, cf=0."""
     spark = index.spark
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    ts = index.term_stats().select("term", "df", "cf")
+    # restrict the vocab-sized stats to the probe set first (broadcast
+    # semi), then broadcast the ≤|terms|-row result back for the left
+    # join — without this the left-outer plans as a vocab-wide
+    # SortMergeJoin per call
+    ts = (
+        index.term_stats().select("term", "df", "cf")
+        .join(F.broadcast(tdf), "term")
+    )
     return (
-        tdf.join(ts, "term", "left")
+        tdf.join(F.broadcast(ts), "term", "left")
         .select(
             "term",
             F.coalesce(F.col("df"), F.lit(0)).alias("df"),

@@ -545,7 +545,9 @@ def _count_from_locate(located: DataFrame, patterns_df: DataFrame) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs_matching"),
         F.count("*").alias("n_occurrences"),
     )
-    return patterns_df.join(agg, "pattern", "left").select(
+    # agg is ≤ |patterns| rows but Catalyst can't see that through the
+    # aggregate — without the hint the left join plans as a SortMergeJoin
+    return patterns_df.join(F.broadcast(agg), "pattern", "left").select(
         "pattern",
         F.coalesce("n_docs_matching", F.lit(0)).alias("n_docs_matching"),
         F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
@@ -580,7 +582,7 @@ def substring_count_short(index: InvertedIndex,
         .groupBy("pattern")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
-    return pdf.join(agg, "pattern", "left").select(
+    return pdf.join(F.broadcast(agg), "pattern", "left").select(
         "pattern",
         F.coalesce("df", F.lit(0)).alias("n_docs_matching"),
         F.coalesce("cf", F.lit(0)).alias("n_occurrences"),
