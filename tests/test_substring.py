@@ -223,3 +223,56 @@ def test_display_substring(gram_setup):
         for _, cpos, snip in occs:
             lo = max(cpos - 5, 1)
             assert snip == TEXTS[d][lo - 1:lo - 1 + len(p) + 10]
+
+
+def test_rarest_plan_randomized_differential(spark, tmp_path):
+    """Seeded random fuzz over the rarest-gram verify kernel: random
+    low-alphabet corpora (dense repeats → many block-boundary and
+    overlapping-occurrence cases) and random patterns sampled from the
+    corpus plus mutants; the candidate+verify plan must equal the
+    all-windows plan AND Python brute force on every (pattern, doc, cpos)."""
+    import random
+
+    from full_text_index_spark.build import prepare_corpus
+
+    rng = random.Random(1234)
+    alpha = "ab c"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        for _ in range(40)
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "url": [f"u://{i}" for i in range(len(texts))],
+        "text": texts,
+    })
+    root = str(tmp_path / "fuzzidx")
+    build_gram_index(spark, prepare_corpus(spark.createDataFrame(pdf)), root,
+                     k=3, n_segments=3, block_size=4)
+    idx = InvertedIndex.open(spark, root)
+
+    pats = set()
+    long_texts = [t for t in texts if len(t) >= 10]
+    for _ in range(12):
+        t = rng.choice(long_texts)
+        i = rng.randint(0, len(t) - 7)
+        pats.add(t[i:i + rng.randint(3, 7)])
+    pats.add("bbb")            # likely absent in a space-heavy corpus
+    pats.add("ab cab c")       # repeat-structured
+    pats = sorted(pats)
+
+    def brute_local(ps):
+        out = {}
+        for d, t in enumerate(texts):
+            for p in ps:
+                pos = [i + 1 for i in range(len(t) - len(p) + 1)
+                       if t[i:i + len(p)] == p]
+                if pos:
+                    out[(p, d)] = pos
+        return out
+
+    want = brute_local(pats)
+    got_new = _collect_locate(substring_locate(idx, pats, plan="rarest"))
+    got_old = _collect_locate(substring_locate(idx, pats, plan="alljoin"))
+    assert got_new == want
+    assert got_old == want
