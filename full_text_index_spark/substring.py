@@ -233,6 +233,15 @@ CAND_DRIVER_CAP = 1_000_000
 # free from term_stats before any decode happens.
 ALLJOIN_CHEAP_CF = 250_000
 
+# a candidate costs more than a decoded posting (driver round-trip, block
+# lookup per cover slot), so rarest-first must cut decoded volume by at
+# least this factor to win.  On flat gram-frequency workloads (random
+# slices over a low-diversity corpus) total_cand ≈ all_cf / n_windows and
+# the all-windows join's single shuffle is the better plan; on natural
+# workloads (a rare gram per pattern) total_cand ≪ all_cf and
+# rarest-first wins by the posting-volume ratio.
+RAREST_WIN_FACTOR = 4
+
 
 def _locate_via_all_windows(index: InvertedIndex,
                             patterns: list[str]) -> DataFrame:
@@ -427,11 +436,15 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
     total_cand = sum(cf[windows[p][cand_slot[p]]] for p in live
                      if len(covers[p]) > 1)
     all_cf = sum(cf[g] for p in live for g in set(windows[p]))
-    # cost-based choice ("auto"): the all-windows join is ONE job — when the
-    # whole decode is cheap it beats the rarest plan's extra driver round
-    # trips.  "rarest" forces the candidate+verify plan (benchmarks, tests);
-    # the driver-cap fallback still applies to either.
-    if plan == "auto" and all_cf <= ALLJOIN_CHEAP_CF:
+    # cost-based choice ("auto"): the all-windows join is ONE job — it wins
+    # when the whole decode is cheap OR when the rarest grams aren't rare
+    # enough to repay the candidate pipeline's extra driver round trips.
+    # "rarest" forces the candidate+verify plan (benchmarks, tests); the
+    # driver-cap fallback still applies to either.
+    if plan == "auto" and (
+        all_cf <= ALLJOIN_CHEAP_CF
+        or total_cand * RAREST_WIN_FACTOR > all_cf
+    ):
         return _locate_alljoin_entry(index, patterns)
     if total_cand > cand_cap:
         return _locate_alljoin_entry(index, patterns)
