@@ -312,6 +312,11 @@ SUBSTR_LOCATE_PATTERNS = ["row sca", "scan slow fast", "w sc"]
 # stats table (no scan); includes absent 1- and 2-char patterns ("z" and
 # "x" are outside the fixture alphabet, "Q" is case-bearing)
 SUBSTR_SHORT_PATTERNS = ["e", " t", "qu", "z", "zz", "Q", "w "]
+# short-pattern LOCATE workload (indexed positions, VERDICT r03 #4): "up"
+# ends 46 sf0.01 docs, so the tails path (starts in the last k−1 chars,
+# which no k-gram window reaches) is exercised alongside the prefix-gram
+# path; "zz"/"Q" are absent
+SUBSTR_SHORT_LOCATE_PATTERNS = ["qu", "up", "zz", "Q"]
 
 
 def _q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +342,21 @@ def _q_substring_count_short(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _gram_index_for(spark, sf_dir)
     return substring_count_short(idx, SUBSTR_SHORT_PATTERNS).orderBy("pattern")
+
+
+def _q_substring_locate_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed locate for patterns SHORTER than the gram size: positions
+    from the k-grams prefixed by the pattern + the tails side table — no
+    corpus scan (the reference locates m=1 patterns from its index,
+    sau/SAu.c:253-344)."""
+    from full_text_index_spark.substring import substring_locate_short
+
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        substring_locate_short(idx, SUBSTR_SHORT_LOCATE_PATTERNS)
+        .select("pattern", "doc_id", F.col("cpos").cast("long").alias("cpos"))
+        .orderBy("pattern", "doc_id", "cpos")
+    )
 
 
 def _q_display_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_count": _q_substring_count,
         "substring_count_short": _q_substring_count_short,
         "substring_locate": _q_substring_locate,
+        "substring_locate_short": _q_substring_locate_short,
         "display_substring": _q_display_substring,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
@@ -718,6 +739,12 @@ ORDER BY pattern
 
     sqls["substring_locate"] = f"""
 WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
+SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+ORDER BY pattern, doc_id, cpos
+""".strip()
+
+    sqls["substring_locate_short"] = f"""
+WITH {_substr_hits_cte(SUBSTR_SHORT_LOCATE_PATTERNS)}
 SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
 ORDER BY pattern, doc_id, cpos
 """.strip()

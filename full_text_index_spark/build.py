@@ -354,11 +354,17 @@ def _clean_stale_index(paths: IndexPaths) -> None:
     overwrite only rewrites TOUCHED partitions, so stale segments (or an
     older layout, e.g. v3's segment=* vs v4's generation=/segment=) would
     survive a plain rebuild-in-place.  resume=False therefore deletes every
-    derived artifact first (ADVICE r02)."""
+    derived artifact first (ADVICE r02).  The gram-index side tables
+    (short_stats, tails) are included: a rebuild only dynamically overwrites
+    generation=0, so generation>=1 partitions left by a previously-appended
+    index would survive and be summed into short-pattern counts (ADVICE
+    r03)."""
     import shutil
 
     for d in (paths.postings, paths.doc_stats, paths.term_stats,
-              paths.manifest_dir):
+              paths.manifest_dir,
+              os.path.join(paths.root, "short_stats"),
+              os.path.join(paths.root, "tails")):
         shutil.rmtree(d, ignore_errors=True)
     if os.path.exists(paths.meta):
         os.remove(paths.meta)

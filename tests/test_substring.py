@@ -148,12 +148,66 @@ def test_rarest_gram_plan_agrees_with_alljoin(gram_setup):
     assert new == old == brute(pats)
 
 
-def test_rarest_gram_plan_cap_fallback(gram_setup):
-    """cand_cap=0 forces the alljoin fallback — results identical."""
+def test_rarest_verify_is_distributed_no_driver_candidates(gram_setup):
+    """The verify stage must not stage candidates driver-side: the plan is
+    DataFrame-only (probes shuffled to postings), so it works with stats
+    collection and produces decoded-volume accounting from the kernel's
+    stats rows (VERDICT r03 #1)."""
     idx, _ = gram_setup
-    pats = ["row sca", "aaa"]
-    got = _collect_locate(substring_locate(idx, pats, cand_cap=0))
+    pats = ["row sca", "aaa", "a aaaa"]
+    stats: dict = {}
+    got = _collect_locate(substring_locate(idx, pats, plan="rarest",
+                                           stats=stats))
     assert got == brute(pats)
+    assert stats["verify_decoded_bytes"] > 0
+    assert stats["n_candidates"] >= 1
+
+
+def test_rarest_plan_multi_generation_no_cross_confirm(spark, tmp_path):
+    """ADVICE r03 high: the old verify key packed doc_id·2^32 + pos, which
+    wrapped for generation-shifted doc_ids (GEN_SHIFT = 44) and could
+    cross-confirm an occurrence from gen-0's candidate gram with gen-1's
+    verify gram.  The distributed kernel's keys are generation-safe (local
+    dense doc indexes): 'abcd' exists in NO document here — gen 0 has
+    'abc' (in "abcZZZ"), gen 1 has 'bcd' (in "Xbcd") — so locate must be
+    empty, and genuinely-present patterns must still be found in BOTH
+    generations."""
+    import pandas as pd
+
+    from full_text_index_spark.substring import append_gram_generation
+
+    g0 = pd.DataFrame({
+        "url": ["u://0", "u://1"],
+        "text": ["abcZZZ padding here", "shared needle0 text"],
+    })
+    g1 = pd.DataFrame({
+        "url": ["v://0", "v://1"],
+        "text": ["Xbcd other words", "shared needle0 text again"],
+    })
+    root = str(tmp_path / "genidx")
+    g0p = prepare_corpus(spark.createDataFrame(g0))
+    build_gram_index(spark, g0p, root, k=3, n_segments=2, block_size=4)
+    append_gram_generation(spark, spark.createDataFrame(g1), root, 1,
+                           k=3, n_segments=2, block_size=4)
+    idx = InvertedIndex.open(spark, root)
+    pats = ["abcd", "needle0", "bcd ", "abcZ"]
+    got = _collect_locate(substring_locate(idx, pats, plan="rarest"))
+    from full_text_index_spark.streaming import GEN_SHIFT
+
+    # brute force over the ACTUAL stored doc ids (gen-1 ids are shifted)
+    all_docs = {r["doc_id"]: r["text"] for r in g0p.collect()}
+    g1p = prepare_corpus(spark.createDataFrame(g1))
+    for r in g1p.collect():
+        all_docs[r["doc_id"] + (1 << GEN_SHIFT)] = r["text"]
+    want = {}
+    for d, t in all_docs.items():
+        for p in pats:
+            pos = [i + 1 for i in range(len(t) - len(p) + 1)
+                   if t[i:i + len(p)] == p]
+            if pos:
+                want[(p, d)] = pos
+    assert got == want
+    assert not any(p == "abcd" for (p, _) in got)  # the cross-confirm repro
 
 
 def test_short_count_from_index(gram_setup):
@@ -276,3 +330,52 @@ def test_rarest_plan_randomized_differential(spark, tmp_path):
     got_old = _collect_locate(substring_locate(idx, pats, plan="alljoin"))
     assert got_new == want
     assert got_old == want
+
+    # short patterns (len < k) against the same fuzz corpus: the indexed
+    # prefix-gram + tails plan must equal brute force too
+    from full_text_index_spark.substring import substring_locate_short
+
+    short_pats = sorted({p[:2] for p in pats} | {p[:1] for p in pats} | {"zz"})
+    assert _collect_locate(
+        substring_locate_short(idx, short_pats)
+    ) == brute_local(short_pats)
+
+
+def test_locate_short_matches_brute_force(gram_setup):
+    """Indexed locate for patterns SHORTER than k (VERDICT r03 #4): the
+    prefix-gram path covers positions a k-gram window reaches; the tails
+    table covers starts in the last k−1 chars (incl. docs shorter than k,
+    e.g. "xy").  Absent patterns yield no rows."""
+    from full_text_index_spark.substring import substring_locate_short
+
+    idx, _ = gram_setup
+    pats = ["aa", "a", ", ", "é", "xy", "zz", "s", "es"]
+    got = _collect_locate(substring_locate_short(idx, pats))
+    assert got == brute(pats)
+    # tail coverage explicitly: "xy" is a whole 2-char doc (no 3-grams at
+    # all) and "es" ends doc 3 — both only reachable via tails
+    assert ("xy", 7) in got
+    assert any(d == 3 and TEXTS[3].endswith("es") for (p, d) in got
+               if p == "es")
+
+
+def test_locate_short_rejects_long_patterns(gram_setup):
+    from full_text_index_spark.substring import substring_locate_short
+
+    idx, _ = gram_setup
+    with pytest.raises(ValueError, match="handles lengths 1"):
+        substring_locate_short(idx, ["abcd"])
+
+
+def test_display_substring_short_patterns(gram_setup):
+    """display for patterns shorter than k runs off the indexed short
+    locate — same occurrence positions as brute force, snippets clipped."""
+    from full_text_index_spark.substring import display_substring
+
+    idx, docs = gram_setup
+    pats = ["aa", "é"]
+    rows = display_substring(idx, docs, pats, numc=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    assert {k: sorted(v) for k, v in got.items()} == brute(pats)
