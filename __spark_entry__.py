@@ -516,10 +516,19 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.lsh_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+    # n_planes pinned to the value the oracle SQL inlines (ADVICE r03: the
+    # adaptive default would silently diverge from the oracle above
+    # LSH_TARGET_BUCKET·2^4 = 8000 rows) — and pinning skips the adaptive
+    # default's corpus-count job
+    return S.lsh_cosine_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10,
+        n_planes=S.LSH_PLANES,
+    )
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive n_centroids/nprobe — the oracle SQL computes the identical
+    # formulas from count(*), so parity holds at any fixture size
     return S.ivf_cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
@@ -531,8 +540,11 @@ EMB_NEARDUP_THRESHOLD = 0.3
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_planes pinned to the oracle's inlined value (ADVICE r03) — see
+    # _q_ann_lsh
     return S.embedding_near_pairs(
-        _embeddings(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+        _embeddings(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD,
+        n_planes=S.LSH_PLANES,
     ).orderBy("vec_a", "vec_b")
 
 
@@ -1097,7 +1109,7 @@ WHERE sim_i >= {int(EMB_NEARDUP_THRESHOLD * 10_000)}
 ORDER BY vec_a, vec_b
 """.strip()
 
-    nc, npb, its = S.IVF_N_CENTROIDS, S.IVF_NPROBE, S.IVF_KMEANS_ITERS
+    its = S.IVF_KMEANS_ITERS
     cs = S.CENT_SCALE
     csim = (
         f"CAST(floor({_dot_sql('e.embedding', 'c.cvec')} "
@@ -1108,16 +1120,31 @@ ORDER BY vec_a, vec_b
         f"/ ({_norm_sql('l.embedding')} * {_norm_sql('q.qvec')}) * 10000) AS BIGINT)"
     )
     # deterministic Lloyd refinement, mirrored from similarity._kmeans_step:
-    # exact integer sums of ×10^6-scaled coordinates → bit-identical means
-    ivf_ctes = [f"""stats AS (
-  SELECT greatest(CAST(floor((max(vec_id) + 1) / {nc}.0) AS BIGINT), 1) AS stride
+    # exact integer sums of ×10^6-scaled coordinates → bit-identical means.
+    # The list count and probe count are CORPUS-ADAPTIVE in lockstep with
+    # adaptive_centroids/adaptive_nprobe: double divide + IEEE sqrt + ceil
+    # produce the identical integer in both engines at any fixture size
+    ivf_ctes = [f"""params AS (
+  SELECT greatest({S.IVF_MIN_CENTROIDS},
+                  CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) AS nc
   FROM embeddings
+),
+params2 AS (
+  SELECT nc, greatest({S.IVF_MIN_NPROBE},
+                      CAST(ceil(2 * sqrt(nc * 1.0)) AS BIGINT)) AS np
+  FROM params
+),
+stats AS (
+  SELECT p.nc, p.np,
+         greatest(CAST(floor((max(e.vec_id) + 1) / (p.nc * 1.0)) AS BIGINT),
+                  1) AS stride
+  FROM embeddings e CROSS JOIN params2 p GROUP BY p.nc, p.np
 ),
 cents0 AS (
   SELECT CAST(e.vec_id / s.stride AS BIGINT) AS cent_id, e.embedding AS cvec
   FROM embeddings e CROSS JOIN stats s
   WHERE e.vec_id % s.stride = 0
-  ORDER BY e.vec_id LIMIT {nc}
+    AND CAST(e.vec_id / s.stride AS BIGINT) < s.nc
 )"""]
     for i in range(its):
         ivf_ctes.append(f"""a{i} AS (
@@ -1158,7 +1185,7 @@ assigned AS (
 lists AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE crank = 1),
 probes AS (
   SELECT vec_id AS qid, cent_id AS pcent FROM assigned
-  WHERE vec_id IN ({ann_ids}) AND crank <= {npb}
+  WHERE vec_id IN ({ann_ids}) AND crank <= (SELECT np FROM stats)
 ),
 q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
       WHERE vec_id IN ({ann_ids})),
