@@ -26,15 +26,22 @@ a scalable two-level prefix sum — so reference-generated workloads run
 unchanged against the Spark engine and engine-generated workloads run
 against the reference.
 
-CROSS-TOOL INTERCHANGE IS SINGLE-BYTE-CORPUS ONLY (ADVICE r02): the
-reference formats count BYTES (fixed byte-length patterns, byte offsets
-into the flat file) while the engine's flat-offset mapping counts CHARS
-(``F.length``).  On an ASCII/Latin-1 corpus — which is what the reference's
-Pizza&Chili byte-text world and our gentext fixtures are — the two agree
-exactly.  On a multi-byte corpus they do not; ``read_patterns_file``
-detects the tell-tale failure (a fixed-length slice landing mid-character)
-and raises a clear error instead of corrupting patterns, and
-``gen_patterns`` never emits a pattern whose byte and char lengths differ.
+THE INTERCHANGE DOMAIN IS BYTES (VERDICT r03 #6; the reference formats
+count bytes — fixed byte-length patterns, byte offsets into the flat
+file): ``gen_patterns`` samples fixed BYTE-length substrings from the
+UTF-8 encoding of the corpus, ``read_patterns_file`` slices the body at
+byte boundaries and hands back raw ``bytes`` whenever a slice is not
+whole-character UTF-8 (byte-exact round-trip either way), and the
+flat-offset machinery (``doc_offsets`` / ``intervals_to_docs`` /
+``extract_flat_intervals``) takes ``unit="bytes"`` to compute
+``octet_length`` offsets and slice raw byte snippets — exactly the
+reference's view of the corpus as one byte file.  On an ASCII corpus the
+byte and char domains coincide, so ``unit="chars"`` (the engine-native
+default used by the driver contract) is unchanged.  The one deliberate
+restriction: a pattern that is NOT valid UTF-8 (a reference sample that
+split a multi-byte char) round-trips through the files faithfully but
+cannot be searched by the char-domain engine — ``decode_patterns``
+raises a clear error for those instead of corrupting them.
 
 Scale notes: generators emit QUERY WORKLOADS (hundreds-thousands of rows) —
 driver-side by definition.  The corpus-touching parts stay distributed: doc
@@ -64,16 +71,19 @@ _IVL_HEADER = re.compile(rb"^# number=(\d+) length=(\d+) file=(\S*)\n")
 
 def write_patterns_file(
     path: str,
-    patterns: list[str],
+    patterns: list[str | bytes],
     source_file: str = "corpus",
     forbidden: str = "",
 ) -> None:
     """genpatterns output format (utils/genpatterns.c:187-218): header line,
-    then the UTF-8 bytes of every pattern back-to-back.  All patterns must
-    encode to the same byte length (the format stores one global length)."""
+    then the raw bytes of every pattern back-to-back (str patterns are
+    UTF-8-encoded; bytes patterns — e.g. read back from a reference file —
+    are written verbatim).  All patterns must share one byte length (the
+    format stores one global length)."""
     if not patterns:
         raise ValueError("patterns file needs at least one pattern")
-    blobs = [p.encode("utf-8") for p in patterns]
+    blobs = [p.encode("utf-8") if isinstance(p, str) else bytes(p)
+             for p in patterns]
     length = len(blobs[0])
     bad = [p for p, b in zip(patterns, blobs) if len(b) != length]
     if bad:
@@ -90,9 +100,13 @@ def write_patterns_file(
             fh.write(b)
 
 
-def read_patterns_file(path: str) -> tuple[dict, list[str]]:
+def read_patterns_file(path: str) -> tuple[dict, list[str | bytes]]:
     """Parse a genpatterns file: (meta, patterns).  ``length`` is a BYTE
-    count (the reference fread's raw bytes, utils/run_queries.c:145)."""
+    count (the reference fread's raw bytes, utils/run_queries.c:145) and
+    the body is sliced at byte boundaries.  A slice that is whole-character
+    UTF-8 comes back as ``str``; one that split a multi-byte character (a
+    raw reference sample over a UTF-8 corpus) comes back as ``bytes`` —
+    byte-exact either way, so read → write round-trips any file."""
     with open(path, "rb") as fh:
         data = fh.read()
     m = _PAT_HEADER.match(data)
@@ -111,19 +125,30 @@ def read_patterns_file(path: str) -> tuple[dict, list[str]]:
             f"{path}: truncated — header promises {number}×{length} bytes, "
             f"got {len(body)}"
         )
-    pats = []
+    pats: list[str | bytes] = []
     for i in range(number):
         chunk = body[i * length:(i + 1) * length]
         try:
             pats.append(chunk.decode("utf-8"))
         except UnicodeDecodeError:
-            raise ValueError(
-                f"{path}: pattern {i} is not valid UTF-8 — the fixed "
-                "byte-length slicing split a multi-byte character; "
-                "reference workload interchange requires a single-byte "
-                "(ASCII) corpus (see module docstring)"
-            ) from None
+            pats.append(chunk)
     return meta, pats
+
+
+def decode_patterns(patterns: list[str | bytes]) -> list[str]:
+    """Patterns as engine-searchable strings.  Raw ``bytes`` patterns (a
+    byte slice that split a multi-byte character) have no char-domain
+    representation — fail with a clear interchange error instead of
+    corrupting them."""
+    bad = [p for p in patterns if isinstance(p, bytes)]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} pattern(s) are not whole-character UTF-8 (e.g. "
+            f"{bad[0]!r}) — byte slices that split a multi-byte character "
+            "cannot be searched by the char-domain engine; regenerate the "
+            "workload with gen_patterns (whole-char byte sampling)"
+        )
+    return list(patterns)
 
 
 def write_intervals_file(
@@ -180,17 +205,19 @@ def gen_patterns(
     oversample: int = 4,
 ) -> list[str]:
     """genpatterns analog (utils/genpatterns.c:196-218): sample ``number``
-    substrings of char-length ``length`` from the corpus, rejecting any
-    containing a char of ``forbidden``.  Deterministic in ``seed``.
+    substrings of BYTE-length ``length`` from the UTF-8 encoding of the
+    corpus (the reference's sampling domain), rejecting any containing a
+    char of ``forbidden``, resampling offsets that land mid-character so
+    every pattern is whole-char (and therefore engine-searchable) while
+    still exactly ``length`` bytes.  On an ASCII corpus this is identical
+    to char sampling.  Deterministic in ``seed``.
 
     Distributed part: candidate docs are picked by seeded-hash order with a
     ``limit`` (a TakeOrdered — no global window, no full collect); only the
-    ~``number·oversample`` winning texts reach the driver.  Multi-byte text
-    is resampled rather than sliced mid-char (patterns must share one byte
-    length for the file format)."""
+    ~``number·oversample`` winning texts reach the driver."""
     want = number * oversample
     cand = (
-        docs.where(F.length("text") >= length)
+        docs.where(F.octet_length("text") >= length)
         .select(
             "doc_id",
             "text",
@@ -201,21 +228,23 @@ def gen_patterns(
         .collect()
     )
     if not cand:
-        raise ValueError(f"no document has length ≥ {length}")
+        raise ValueError(f"no document has byte length ≥ {length}")
     rng = np.random.default_rng(seed)
     forb = set(forbidden)
     out: list[str] = []
     for row in cand:
         if len(out) == number:
             break
-        text = row["text"]
+        raw = row["text"].encode("utf-8")
         # rejection loop per doc, bounded (reference loops globally)
         for _ in range(8):
-            off = int(rng.integers(0, len(text) - length + 1))
-            p = text[off:off + length]
-            if forb and any(c in forb for c in p):
+            off = int(rng.integers(0, len(raw) - length + 1))
+            chunk = raw[off:off + length]
+            try:
+                p = chunk.decode("utf-8")  # mid-char slice → resample
+            except UnicodeDecodeError:
                 continue
-            if len(p.encode("utf-8")) != length:  # multi-byte: keep format
+            if forb and any(c in forb for c in p):
                 continue
             out.append(p)
             break
@@ -247,22 +276,25 @@ def gen_intervals(
 _N_OFFSET_BUCKETS = 1024
 
 
-def doc_offsets(docs: DataFrame) -> DataFrame:
-    """(doc_id, start) — each document's 0-based char offset in the flat
+def doc_offsets(docs: DataFrame, unit: str = "chars") -> DataFrame:
+    """(doc_id, start, len) — each document's 0-based offset in the flat
     concatenation of all texts in doc_id order (the reference's single-file
-    view of the corpus).
+    view of the corpus).  ``unit="bytes"`` measures UTF-8 octets — the
+    reference's actual domain (its flat file IS bytes); ``"chars"`` (the
+    engine-native default) coincides with it on ASCII corpora.
 
     Scalable prefix sum: a per-bucket running total (window partitioned by
     coarse doc_id bucket — parallel) plus a broadcast bucket-prefix table
     (one row per bucket), never a single-task global window."""
     spark = docs.sparkSession
+    measure = F.octet_length if unit == "bytes" else F.length
     # contiguous ranges per bucket: bucket = doc_id // width keeps doc order
     # inside AND across buckets, which a mod-bucket would not
     max_id = docs.agg(F.max("doc_id")).first()[0]
     width = max(int(max_id or 0) // _N_OFFSET_BUCKETS + 1, 1)
     lens = docs.select(
         "doc_id",
-        F.length("text").alias("len"),
+        measure("text").alias("len"),
         (F.col("doc_id") / width).cast("long").alias("bucket"),
     )
     totals = (
@@ -293,13 +325,15 @@ def doc_offsets(docs: DataFrame) -> DataFrame:
 
 
 def intervals_to_docs(
-    docs: DataFrame, intervals: list[tuple[int, int]]
+    docs: DataFrame, intervals: list[tuple[int, int]], unit: str = "chars"
 ) -> DataFrame:
     """Map flat-file [from,to] intervals onto the documents they touch:
     (ivl_id, from_char, to_char, doc_id, doc_from, doc_to) where
-    doc_from/doc_to are 0-based inclusive WITHIN the doc.  An interval
-    spanning a doc boundary yields one row per touched doc (the reference's
-    flat extract crosses document joins silently; we surface the structure).
+    doc_from/doc_to are 0-based inclusive WITHIN the doc, measured in
+    ``unit`` (``"bytes"`` = the reference's byte-offset domain).  An
+    interval spanning a doc boundary yields one row per touched doc (the
+    reference's flat extract crosses document joins silently; we surface
+    the structure).
 
     The interval list is a query workload (small) → broadcast range join
     against the offsets table; Spark turns the inequality pair into a
@@ -311,7 +345,7 @@ def intervals_to_docs(
         [(i, a, b) for i, (a, b) in enumerate(intervals)],
         "ivl_id long, from_char long, to_char long",
     )
-    offs = doc_offsets(docs)
+    offs = doc_offsets(docs, unit=unit)
     return (
         offs.join(
             F.broadcast(ivl),
@@ -335,31 +369,45 @@ def intervals_to_docs(
 
 
 def extract_flat_intervals(
-    docs: DataFrame, intervals: list[tuple[int, int]]
+    docs: DataFrame, intervals: list[tuple[int, int]], unit: str = "chars"
 ) -> DataFrame:
     """`extract` over flat-file intervals (utils/interface.h:79 +
     genintervals workload): (ivl_id, from_char, to_char, snippet) where
-    snippet is the flat-concatenation text slice — document pieces are
-    stitched in doc order for boundary-crossing intervals."""
-    mapped = intervals_to_docs(docs, intervals)
+    snippet is the flat-concatenation slice — document pieces are stitched
+    in doc order for boundary-crossing intervals.  With ``unit="bytes"``
+    the offsets address the UTF-8 byte stream and ``snippet`` is BINARY
+    (raw bytes, exactly what the reference's extract emits — a byte
+    interval may legitimately split a multi-byte character); JVM-side
+    throughout (``substring`` slices binary natively)."""
+    mapped = intervals_to_docs(docs, intervals, unit=unit)
+    src = (
+        F.encode(F.col("text"), "UTF-8") if unit == "bytes" else F.col("text")
+    )
     pieces = mapped.join(docs.select("doc_id", "text"), "doc_id").select(
         "ivl_id",
         "from_char",
         "to_char",
         "doc_id",
         F.substring(
-            F.col("text"),
+            src,
             (F.col("doc_from") + 1).cast("int"),
             (F.col("doc_to") - F.col("doc_from") + 1).cast("int"),
         ).alias("piece"),
     )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "piece"))),
+        lambda s: s["piece"],
+    )
+    stitched = (
+        F.aggregate(
+            ordered, F.lit(b""), lambda acc, x: F.concat(acc, x)
+        )
+        if unit == "bytes"
+        else F.concat_ws("", ordered)
+    )
     return (
         pieces.groupBy("ivl_id", "from_char", "to_char")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("doc_id", "piece"))), lambda s: s["piece"])
-            ).alias("snippet")
-        )
+        .agg(stitched.alias("snippet"))
     )
 
 
@@ -369,5 +417,7 @@ def run_patterns_file(index, path: str) -> DataFrame:
     from full_text_index_spark.substring import substring_count
 
     _, pats = read_patterns_file(path)
-    # the file may repeat a pattern; counts are per distinct pattern
-    return substring_count(index, sorted(set(pats)))
+    # the file may repeat a pattern; counts are per distinct pattern.
+    # decode_patterns raises clearly if a pattern is a raw byte slice the
+    # char-domain engine cannot represent
+    return substring_count(index, sorted(set(decode_patterns(pats))))

@@ -51,7 +51,8 @@ def main() -> None:
             substring_locate,
         )
 
-        meta, pats = W.read_patterns_file(wl_path)
+        meta, raw_pats = W.read_patterns_file(wl_path)
+        pats = W.decode_patterns(raw_pats)
         length, npatt = meta["length"], meta["number"]
         uniq = sorted(set(pats))
         t0 = time.monotonic()
@@ -114,7 +115,8 @@ def main() -> None:
 
         docs = spark.read.parquet(sys.argv[4])
         numc = int(sys.argv[5]) if len(sys.argv) > 5 else 25
-        meta, pats = W.read_patterns_file(wl_path)
+        meta, raw_pats = W.read_patterns_file(wl_path)
+        pats = W.decode_patterns(raw_pats)
         uniq = sorted(set(pats))
         plen = meta["length"]
         t0 = time.monotonic()
