@@ -418,20 +418,65 @@ def adaptive_nprobe(n_centroids: int, floor: int = IVF_MIN_NPROBE) -> int:
     return max(floor, math.ceil(2.0 * math.sqrt(float(n_centroids))))
 
 
-def _assign_to_centroids(emb_n, cents_n, id_col, vec_col):
+def _seq_norm_np(v: np.ndarray) -> float:
+    """The seq_dot-fold L2 norm (sqrt of the cumsum-ordered self-dot) —
+    bit-identical to with_norm's value for the same vector."""
+    return float(np.sqrt(np.cumsum(v * v)[-1])) if len(v) else 0.0
+
+
+def _make_assign_kernel(cent_mat: np.ndarray, cent_norms: np.ndarray):
+    """pandas UDF: vector, nrm → array of csim_i (floor(cos·10^4)) per
+    centroid — ONE Arrow pass over the vectors with the centroid matrix in
+    the closure, replacing the N×n_centroids crossJoin that shipped every
+    (vector, centroid) pair as its own row (the dominant IVF cost once the
+    centroid count adapts to the corpus).  Per (row, centroid) the dot is
+    the same sequential float64 cumsum fold as seq_dot, so every csim_i is
+    bit-identical to the JVM expression / DuckDB oracle value."""
+    import pandas as pd
+
+    @F.pandas_udf("array<long>")
+    def assign(vec: pd.Series, nrm: pd.Series) -> pd.Series:
+        la = vec.tolist()
+        if not la:
+            return pd.Series([], dtype=object)
+        V = np.stack(la).astype(np.float64, copy=False)
+        nv = nrm.to_numpy(dtype=np.float64)
+        out = np.empty((len(V), len(cent_mat)), dtype=np.int64)
+        for c in range(len(cent_mat)):
+            dots = np.cumsum(V * cent_mat[c][None, :], axis=1)[:, -1]
+            out[:, c] = np.floor(
+                dots / (nv * cent_norms[c]) * 10_000
+            ).astype(np.int64)
+        return pd.Series(list(out))
+
+    return assign
+
+
+def _assign_to_centroids(emb_n, cent_rows, id_col, vec_col):
     """(vec_id, vec, nrm, cent_id, csim_i, crank): nearest-centroid ranking
-    per vector — crank 1 is the owning inverted list.  Both sides carry
-    precomputed norms; the per-(vector, centroid) work is one kernel dot."""
+    per vector — crank 1 is the owning inverted list.  ``cent_rows`` is the
+    driver-side [(cent_id, float64 vector)] list (centroids are tiny and
+    already collected between Lloyd passes); the kernel broadcasts the
+    matrix in its closure and scores all centroids in one Arrow pass."""
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cent_ids = [int(cid) for cid, _ in cent_rows]
+    cent_mat = np.stack([v for _, v in cent_rows]).astype(np.float64)
+    cent_norms = np.array([_seq_norm_np(v) for v in cent_mat])
+    assign = _make_assign_kernel(cent_mat, cent_norms)
+    id_arr = F.array(*[F.lit(c).cast("long") for c in cent_ids])
     w_assign = Window.partitionBy(id_col).orderBy(
         F.desc("csim_i"), F.asc("cent_id")
     )
     return (
-        emb_n.crossJoin(F.broadcast(cents_n))
-        .select(
-            id_col, vec_col, "nrm", "cent_id",
-            _sim_i(F.col(vec_col), F.col("nrm"), F.col("cvec"), F.col("cnrm"))
-            .alias("csim_i"),
+        emb_n.select(
+            id_col, vec_col, "nrm",
+            F.posexplode(assign(F.col(vec_col), F.col("nrm")))
+            .alias("cidx", "csim_i"),
         )
+        .withColumn(
+            "cent_id", F.element_at(id_arr, (F.col("cidx") + 1).cast("int"))
+        )
+        .drop("cidx")
         .withColumn("crank", F.row_number().over(w_assign))
     )
 
@@ -515,32 +560,30 @@ def ivf_cosine_topk(
     emb_n = with_norm(embeddings, vec_col)
     # seed selection by id arithmetic (id % stride == 0, first n_centroids
     # strides) — a WHERE, not an ORDER BY+LIMIT, so the oracle SQL states
-    # the identical set without a non-constant LIMIT
-    cents = (
-        embeddings.where(F.col(id_col) % stride == 0)
-        .where((F.col(id_col) / stride).cast("long") < n_centroids)
-        .select(
-            (F.col(id_col) / stride).cast("long").alias("cent_id"),
-            F.col(vec_col).alias("cvec"),
+    # the identical set without a non-constant LIMIT.  Centroids live
+    # driver-side between passes (n_centroids tiny rows — they were
+    # collected between Lloyd passes anyway to break lineage chaining);
+    # collect round-trips exact float64s, so values stay bit-identical to
+    # the oracle.
+    cent_rows = [
+        (int(r["cent_id"]), np.asarray(r["cvec"], dtype=np.float64))
+        for r in (
+            embeddings.where(F.col(id_col) % stride == 0)
+            .where((F.col(id_col) / stride).cast("long") < n_centroids)
+            .select(
+                (F.col(id_col) / stride).cast("long").alias("cent_id"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .collect()
         )
-    )
-    spark = embeddings.sparkSession
+    ]
     for _ in range(kmeans_iters):
-        cents_n = with_norm(cents, "cvec", out="cnrm")
-        assigned_i = _assign_to_centroids(emb_n, cents_n, id_col, vec_col)
-        # materialize the centroid table (n_centroids tiny rows) each pass:
-        # without this every Lloyd iteration's lineage CHAINS — pass t
-        # recomputes passes 1..t−1's assignments and sums, and the final
-        # scoring recomputes the whole refinement again.  collect →
-        # createDataFrame round-trips exact float64s, so values are
-        # bit-identical to the lazy plan (and to the oracle).
-        cents = spark.createDataFrame(
-            [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
-             for r in _kmeans_step(assigned_i, id_col, vec_col).collect()],
-            "cent_id long, cvec array<double>",
-        )
-    cents_n = with_norm(cents, "cvec", out="cnrm")
-    assigned = _assign_to_centroids(emb_n, cents_n, id_col, vec_col)
+        assigned_i = _assign_to_centroids(emb_n, cent_rows, id_col, vec_col)
+        cent_rows = [
+            (int(r["cent_id"]), np.asarray(r["cvec"], dtype=np.float64))
+            for r in _kmeans_step(assigned_i, id_col, vec_col).collect()
+        ]
+    assigned = _assign_to_centroids(emb_n, cent_rows, id_col, vec_col)
     lists = assigned.where(F.col("crank") == 1).select(
         id_col, vec_col, "nrm", "cent_id"
     )
