@@ -36,18 +36,29 @@ from pyspark.sql import DataFrame, SparkSession
 from full_text_index_spark.index import InvertedIndex
 
 _MATCH_RE = re.compile(
-    r"match\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*'([^']*)'\s*\)",
+    r"\b(match(?:_any|_phrase)?)\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,"
+    r"\s*'([^']*)'\s*\)",
     re.IGNORECASE,
 )
 
 
 class MatchRewriter:
-    """Rewrites ``match(col, 'terms')`` predicates in SQL text to postings
-    semi-joins against ``index`` and runs the result.
+    """Rewrites full-text predicates in SQL text to postings semi-joins
+    against ``index`` and runs the result.  Three predicates, the standard
+    SQL full-text trio:
+
+    * ``match(col, 'a b')`` — every term present (AND; posting-list
+      intersection via query.boolean_and);
+    * ``match_any(col, 'a b')`` — any term present (OR; a union of posting
+      lists, still never touching the text);
+    * ``match_phrase(col, 'a b')`` — the exact phrase (candidate docs from
+      the AND intersection, then the token-anchored text verify of
+      query.phrase_search over ONLY those docs — requires the rewriter to
+      be built with the ``corpus`` DataFrame).
 
     Usage::
 
-        rw = MatchRewriter(spark, index)
+        rw = MatchRewriter(spark, index, corpus=docs)
         df = rw.sql("SELECT url FROM documents WHERE match(text, 'a b')")
 
     Limitations (documented, not silent): the enclosing query must expose
@@ -57,21 +68,47 @@ class MatchRewriter:
     """
 
     def __init__(self, spark: SparkSession, index: InvertedIndex,
-                 id_col: str = "doc_id"):
+                 corpus: DataFrame | None = None, id_col: str = "doc_id"):
         self.spark = spark
         self.index = index
+        self.corpus = corpus
         self.id_col = id_col
         self._n = 0
 
-    def _match_docs(self, terms_str: str) -> DataFrame:
-        from pyspark.sql import functions as F
-
-        from full_text_index_spark.query import boolean_and
+    def _terms(self, fn: str, terms_str: str) -> list[str]:
         from full_text_index_spark.tokenizer import tokenize_py
 
         terms = tokenize_py(terms_str)
         if not terms:
-            raise ValueError(f"match() query {terms_str!r} has no terms")
+            raise ValueError(f"{fn}() query {terms_str!r} has no terms")
+        return terms
+
+    def _match_docs(self, fn: str, terms_str: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from full_text_index_spark.query import (
+            boolean_and,
+            phrase_search,
+            term_locate,
+        )
+
+        fn = fn.lower()
+        terms = self._terms(fn, terms_str)
+        if fn == "match_any":
+            return (
+                term_locate(self.index, terms)
+                .select(F.col("doc_id")).distinct()
+            )
+        if fn == "match_phrase":
+            if self.corpus is None:
+                raise ValueError(
+                    "match_phrase needs the corpus: build the rewriter with "
+                    "MatchRewriter(spark, index, corpus=docs) — phrase "
+                    "verification reads the matching docs' stored text"
+                )
+            return phrase_search(
+                self.index, self.corpus, [terms_str]
+            ).select(F.col("doc_id"))
         qdf = self.spark.createDataFrame(
             [(0, terms)], "qid long, terms array<string>"
         )
@@ -84,7 +121,9 @@ class MatchRewriter:
         def sub(m: re.Match) -> str:
             self._n += 1
             view = f"__fti_match_{self._n}"
-            self._match_docs(m.group(2)).createOrReplaceTempView(view)
+            self._match_docs(m.group(1), m.group(3)).createOrReplaceTempView(
+                view
+            )
             return f"{self.id_col} IN (SELECT doc_id FROM {view})"
 
         return _MATCH_RE.sub(sub, query)

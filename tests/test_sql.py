@@ -96,3 +96,50 @@ def test_match_rejects_empty_query(spark, tiny_index):
     rw = MatchRewriter(spark, tiny_index)
     with pytest.raises(ValueError, match="no terms"):
         rw.rewrite("SELECT 1 FROM t WHERE match(text, '...')")
+
+
+def test_match_any_and_phrase(spark, tiny_index, small_docs, docs_parquet):
+    spark.read.parquet(docs_parquet).createOrReplaceTempView("docs_sql")
+    rows = small_docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: set(tokenize_py(r["text"])) for r in rows}
+    rw = MatchRewriter(spark, tiny_index, corpus=small_docs)
+
+    got_any = {
+        r["doc_id"]
+        for r in rw.sql(
+            "SELECT doc_id FROM docs_sql "
+            "WHERE match_any(text, 'singletonterm0 cebaba1')"
+        ).collect()
+    }
+    want_any = {d for d, ts in toks.items()
+                if "singletonterm0" in ts or "cebaba1" in ts}
+    assert got_any == want_any and got_any
+
+    # phrase: pick a raw adjacent word pair that tokenization round-trips
+    # (phrase_search verifies against RAW text, token-anchored)
+    phrase = None
+    for r in rows:
+        words = r["text"].split(" ")
+        for a, b in zip(words, words[1:]):
+            if (a and b and a == "".join(tokenize_py(a))
+                    and b == "".join(tokenize_py(b))):
+                phrase = f"{a} {b}"
+                break
+        if phrase:
+            break
+    assert phrase is not None
+    got_ph = {
+        r["doc_id"]
+        for r in rw.sql(
+            f"SELECT doc_id FROM docs_sql WHERE match_phrase(text, '{phrase}')"
+        ).collect()
+    }
+    # phrase_search's verify rule: token-anchored RAW-text substring
+    want_ph = {r["doc_id"] for r in rows if f" {phrase} " in f" {r['text']} "}
+    assert got_ph == want_ph and got_ph
+
+    # phrase without a corpus is a clear error, not silence
+    with pytest.raises(ValueError, match="needs the corpus"):
+        MatchRewriter(spark, tiny_index).rewrite(
+            "SELECT 1 FROM t WHERE match_phrase(text, 'a b')"
+        )

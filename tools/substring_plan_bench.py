@@ -24,7 +24,19 @@ benchmarks patterns that mix one rare (id) gram with the corpus' head
 grams — the adversarial case for the old plan.
 
 Usage: python tools/substring_plan_bench.py [sf_dir] [reps]
+       python tools/substring_plan_bench.py abovecap
 Prints one JSON line per pattern set.  Results land in BENCH/BASELINE.md §d.
+
+``abovecap`` (VERDICT r03 #1 done-criterion) runs the rarest plan on an
+ENGINEERED corpus whose candidate set exceeds the retired 1M driver cap:
+50 "needle" docs carry 21k ``zqvaaa`` repeats each (cf of every zqv/qva/vaa
+window ≈ 1.05M — all candidates), while 50k filler docs of pure ``a`` runs
+push the head verify gram ``aaa`` to ~21M occurrences.  The r03 engine
+would have hit CAND_DRIVER_CAP and fallen back to the alljoin full decode
+of that 21M-occurrence stream — exactly the workload the plan exists for;
+the distributed verify ships the 1.05M candidates as probe rows and
+block-targets ``aaa`` to the 50 needle docs, so decoded volume stays
+~3·cf(rarest).
 """
 
 from __future__ import annotations
@@ -53,6 +65,65 @@ def decoded_bytes(index, grams: list[str]) -> int:
     return int(row["b"] or 0)
 
 
+def abovecap() -> None:
+    from full_text_index_spark.build import prepare_corpus
+    from full_text_index_spark.index import InvertedIndex
+    from full_text_index_spark.session import get_spark
+    from full_text_index_spark.substring import (
+        build_gram_index,
+        substring_locate,
+    )
+
+    spark = get_spark("substr-abovecap", cpus=32, shuffle_partitions=32)
+    n_needle, reps_per_doc = 50, 21_000        # cf(zqv) = 1.05M > old 1M cap
+    n_filler, filler_len = 50_000, 400         # cf(aaa) ≈ 21M (the head gram)
+    needles = spark.range(n_needle).select(
+        F.concat(F.lit("c://"), F.col("id").cast("string")).alias("url"),
+        F.expr(f"repeat('zqvaaa', {reps_per_doc})").alias("text"),
+    )
+    filler = spark.range(n_filler).select(
+        F.concat(F.lit("f://"), F.col("id").cast("string")).alias("url"),
+        F.expr(f"repeat('a', {filler_len})").alias("text"),
+    )
+    docs = prepare_corpus(needles.unionByName(filler))
+    gram_root = tempfile.mkdtemp(prefix="substr_abovecap_idx_")
+    try:
+        t0 = time.perf_counter()
+        build_gram_index(spark, docs, gram_root, k=3, n_segments=8,
+                         block_size=64)
+        t_build = time.perf_counter() - t0
+        idx = InvertedIndex.open(spark, gram_root)
+        pats = ["zqvaaa"]
+        windows = ["zqv", "qva", "vaa", "aaa"]
+        all_bytes = decoded_bytes(idx, windows)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        n_rows = substring_locate(idx, pats, plan="rarest",
+                                  stats=stats).count()
+        wall = time.perf_counter() - t0
+        rare_bytes = decoded_bytes(idx, ["zqv"]) + stats.get(
+            "verify_decoded_bytes", 0
+        )
+        rec = {
+            "set": "abovecap_1.05M_candidates",
+            "n_candidates": stats.get("n_candidates", 0),
+            "old_driver_cap": 1_000_000,
+            "rows": n_rows,
+            "wall_rarest_s": round(wall, 2),
+            "build_s": round(t_build, 2),
+            "alljoin_decoded_bytes": all_bytes,
+            "rarest_decoded_bytes": rare_bytes,
+            "decoded_bytes_ratio": round(all_bytes / max(rare_bytes, 1), 2),
+            "verify_decoded_bytes": stats.get("verify_decoded_bytes", 0),
+        }
+        assert rec["n_candidates"] > 1_000_000, rec
+        assert n_rows == n_needle * reps_per_doc, rec  # every candidate matches
+        print(json.dumps(rec), flush=True)
+    finally:
+        shutil.rmtree(gram_root, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     from full_text_index_spark.index import InvertedIndex
     from full_text_index_spark.session import get_spark
@@ -63,6 +134,9 @@ def main() -> None:
         substring_locate,
     )
 
+    if len(sys.argv) > 1 and sys.argv[1] == "abovecap":
+        abovecap()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("substr-plan-bench", cpus=8, shuffle_partitions=8)
