@@ -29,11 +29,16 @@ semi-join above it) and the corpus text column is never materialized.
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from full_text_index_spark.index import InvertedIndex
+
+# session-unique temp-view names: two rewriters in one session must not
+# overwrite each other's match views
+_VIEW_SEQ = itertools.count()
 
 _MATCH_RE = re.compile(
     r"\b(match(?:_any|_phrase)?)\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,"
@@ -73,7 +78,6 @@ class MatchRewriter:
         self.index = index
         self.corpus = corpus
         self.id_col = id_col
-        self._n = 0
 
     def _terms(self, fn: str, terms_str: str) -> list[str]:
         from full_text_index_spark.tokenizer import tokenize_py
@@ -119,8 +123,7 @@ class MatchRewriter:
         exposed separately so tests and EXPLAIN can inspect it."""
 
         def sub(m: re.Match) -> str:
-            self._n += 1
-            view = f"__fti_match_{self._n}"
+            view = f"__fti_match_{next(_VIEW_SEQ)}"
             self._match_docs(m.group(1), m.group(3)).createOrReplaceTempView(
                 view
             )

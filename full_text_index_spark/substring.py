@@ -878,15 +878,31 @@ def substring_count(index: InvertedIndex, patterns: list[str]) -> DataFrame:
     the reference."""
     patterns = list(dict.fromkeys(patterns))
     k = _gram_k(index)
+    spark = index.spark
     short = [p for p in patterns if len(p) < k]
-    longp = [p for p in patterns if len(p) >= k]
+    exact_k = [p for p in patterns if len(p) == k]
+    longp = [p for p in patterns if len(p) > k]
     parts = []
     if short:
         parts.append(substring_count_short(index, short))
-    if longp:
-        pdf = index.spark.createDataFrame(
-            [(p,) for p in longp], "pattern string"
+    if exact_k:
+        # a length-k pattern IS one gram: term_stats already holds its exact
+        # (df, cf) — no posting decode at all (the backward-search-count
+        # analog, ssa/SSA.cpp:242-261: count is cheaper than locate)
+        pdf = spark.createDataFrame([(p,) for p in exact_k], "pattern string")
+        ts = (
+            index.term_stats().select("term", "df", "cf")
+            .join(F.broadcast(pdf), F.col("term") == F.col("pattern"))
         )
+        parts.append(
+            pdf.join(F.broadcast(ts), "pattern", "left").select(
+                "pattern",
+                F.coalesce("df", F.lit(0)).alias("n_docs_matching"),
+                F.coalesce("cf", F.lit(0)).alias("n_occurrences"),
+            )
+        )
+    if longp:
+        pdf = spark.createDataFrame([(p,) for p in longp], "pattern string")
         parts.append(_count_from_locate(substring_locate(index, longp), pdf))
     out = parts[0]
     for p in parts[1:]:
