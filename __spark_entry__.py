@@ -34,6 +34,9 @@ from full_text_index_spark.query import (  # noqa: E402
     term_locate,
     term_positions,
 )
+from full_text_index_spark.streaming import (  # noqa: E402
+    windowed_event_counts,
+)
 from full_text_index_spark.substring import (  # noqa: E402
     build_gram_index,
     substring_count,
@@ -597,6 +600,16 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.binary_features(MM.synth_payloads(docs)).orderBy("doc_id")
 
 
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the events table — the SAME
+    transformation streaming.windowed_event_counts applies under a
+    watermark on a readStream source (tests/test_streaming.py replays it
+    incrementally); here the batch path is parity-checked against a
+    DuckDB epoch-bucket oracle."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_event_counts(ev).orderBy("window_start_s", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: block-max BM25 top-10 over the sf0.001 documents corpus."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -642,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal,
+        "windowed_events": _q_windowed_events,
     }
 
 
@@ -1345,6 +1359,21 @@ SELECT doc_id, 'wav', {MM.WAV_RATE}::INT, 1::INT, n::BIGINT,
        ((s_abs * 10000) // n)::BIGINT, (s_words % 2147483647)::BIGINT
 FROM wav_s
 ORDER BY doc_id
+""".strip()
+
+    # Spark's window('10 minutes') tumbles on epoch-aligned boundaries, so
+    # the bucket is floor(epoch/600)·600 in any engine; value is summed as
+    # exact integer cents (floor(v·100+0.5) BEFORE the sum — associative).
+    sqls["windowed_events"] = """
+SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s,
+       (floor(epoch(ts) / 600) * 600 + 600)::BIGINT AS window_end_s,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
 """.strip()
 
     return sqls

@@ -180,6 +180,96 @@ def append_generation(
         )
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — the
+    standard Structured Streaming late-data pattern (readStream →
+    withWatermark → window groupBy → writeStream).  The SAME code path
+    serves batch DataFrames (watermark skipped — it is a streaming-state
+    bound, not a filter), so the driver contract can diff the batch result
+    against a DuckDB time_bucket oracle while the streaming tests replay
+    the identical aggregation incrementally.
+
+    Output (window_start_s, window_end_s, event_type, n_events,
+    sum_value_c): epoch seconds for engine-neutral window identity, and
+    ``value`` summed as exact integer cents (floor(v·100 + 0.5) BEFORE the
+    sum — float accumulation order differs between engines; integer sums
+    are associative).
+
+    Scale: tumbling windows partition by (window, event_type) — one
+    map-side-combined shuffle; on a stream the watermark bounds state to
+    ~(watermark / window) live windows per key."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("window_end_s"),
+            "event_type", "n_events", "sum_value_c",
+        )
+    )
+
+
+DEDUP_OUT_SCHEMA = "content_hash string, url string, text string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _dedup_first_seen_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: emit the first document ever seen for
+    this content hash (within-batch ties broken by url), then remember the
+    hash forever.  State is one boolean per distinct hash."""
+    import pandas as pd
+
+    if state.exists:
+        yield pd.DataFrame(columns=["content_hash", "url", "text"])
+        return
+    best = None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        cand = pdf.sort_values("url").head(1)
+        if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+            best = cand
+    state.update((True,))
+    yield (best[["content_hash", "url", "text"]]
+           if best is not None
+           else pd.DataFrame(columns=["content_hash", "url", "text"]))
+
+
+def streaming_dedup_first_seen(stream: DataFrame) -> DataFrame:
+    """Cross-batch EXACT deduplication as a custom stateful streaming
+    operator (``applyInPandasWithState``): only the first document carrying
+    each content hash ever reaches the sink; replays and later batches of
+    the same text are dropped by per-hash state.  This is the streaming
+    form of dedup.exact_dedup — the pipeline op a training-data ingest
+    actually runs in front of the incremental index build.
+
+    Scale: state is one boolean per DISTINCT content hash, hash-partitioned
+    across executors by the groupBy key — the same sharding the batch
+    hash-groupBy uses, carried across micro-batches by the state store."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col("text")))
+    return (
+        hashed.groupBy("content_hash")
+        .applyInPandasWithState(
+            _dedup_first_seen_fn,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_build(
     spark: SparkSession,
     stream: DataFrame,

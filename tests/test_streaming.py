@@ -186,3 +186,109 @@ def test_append_gram_generation_short_stats_union(spark, two_gen_corpus, tmp_pat
             for t in texts
         )
         assert got[p] == (n_docs, n_occ), p
+
+
+def _synth_events(n=300, seed=7):
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [base + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 7200, size=n)],
+        "event_type": [f"t{i % 3}" for i in range(n)],
+        "value": rng.randint(0, 10000, size=n) / 100.0,
+    })
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """The watermarked windowed aggregation, replayed through an actual
+    readStream in append mode, emits exactly the batch-path result for
+    every window the watermark has closed."""
+    import pandas as pd
+
+    from full_text_index_spark.streaming import windowed_event_counts
+
+    pdf = _synth_events()
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    # a far-future sentinel (separate file, later mod time) drives the
+    # watermark past every real window so append mode finalizes them all
+    sentinel = pdf.head(1).copy()
+    sentinel["event_id"] = 10**6
+    sentinel["ts"] = pd.Timestamp("2024-01-01 06:00:00")
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName("win_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = windowed_event_counts(spark.read.parquet(src)).toPandas()
+    sentinel_epoch = int(sentinel["ts"].iloc[0].timestamp())
+    closed = batch[batch["window_end_s"] <= sentinel_epoch - 30 * 60]
+    assert len(closed) > 10  # the replay actually covered many windows
+    got = spark.sql("SELECT * FROM win_sink").toPandas()
+    key = ["window_start_s", "event_type"]
+    exp = closed.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)[exp.columns]
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: the first url carrying each
+    text survives; replays of the same text in LATER micro-batches are
+    dropped by per-hash state (an append sink would show extra rows if the
+    state were not carried across batches)."""
+    import time
+
+    import pandas as pd
+
+    from full_text_index_spark.streaming import streaming_dedup_first_seen
+
+    src = str(tmp_path / "docs_in")
+    b0 = pd.DataFrame({
+        "url": [f"u/b0/{i:02d}" for i in range(6)],
+        "text": ["alpha", "alpha", "beta", "gamma", "beta", "delta"],
+    })
+    b1 = pd.DataFrame({
+        "url": [f"u/b1/{i:02d}" for i in range(4)],
+        "text": ["alpha", "epsilon", "delta", "zeta"],
+    })
+    spark.createDataFrame(b0).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mod times → deterministic file order
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("url string, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_dedup_first_seen(stream)
+        .writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT text, url FROM dedup_sink ORDER BY text"
+    ).toPandas()
+    expected = pd.DataFrame({
+        "text": ["alpha", "beta", "delta", "epsilon", "gamma", "zeta"],
+        "url": ["u/b0/00", "u/b0/02", "u/b0/05", "u/b1/01", "u/b0/03",
+                "u/b1/03"],
+    })
+    pd.testing.assert_frame_equal(got, expected)
