@@ -35,6 +35,7 @@ from full_text_index_spark.query import (  # noqa: E402
     term_positions,
 )
 from full_text_index_spark.streaming import (  # noqa: E402
+    user_sessions,
     windowed_event_counts,
 )
 from full_text_index_spark.substring import (  # noqa: E402
@@ -610,6 +611,15 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev).orderBy("window_start_s", "event_type")
 
 
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window, gap 30 min) over the
+    events table — the same operator runs under a watermark on a stream;
+    here the batch path is diffed against a DuckDB gaps-and-islands
+    oracle (lag-diff >= gap starts a new island)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return user_sessions(ev).orderBy("user_id", "session_start_us")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: block-max BM25 top-10 over the sf0.001 documents corpus."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -656,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal,
         "windowed_events": _q_windowed_events,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -1374,6 +1385,37 @@ SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s,
 FROM events
 GROUP BY 1, 2, 3
 ORDER BY 1, 3
+""".strip()
+
+    # session_window semantics: a session merges events while each starts
+    # AT OR BEFORE the previous session's end (ts + gap) — an event exactly
+    # gap later still merges (verified in test_user_sessions_gap_boundary),
+    # so the island boundary is lag diff STRICTLY > gap; window end is the
+    # last event's ts + gap.  Integer epoch-microseconds make the window
+    # identity engine-exact.
+    sqls["user_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT min(epoch_us(ts))::BIGINT AS session_start_us,
+       (max(epoch_us(ts)) + 1800000000)::BIGINT AS session_end_us,
+       user_id,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, 1
 """.strip()
 
     return sqls

@@ -218,6 +218,47 @@ def windowed_event_counts(
     )
 
 
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization per user via Spark's native
+    ``session_window`` (merging-session state store on a stream, a merge
+    aggregation in batch): consecutive events of one user belong to the
+    same session while each starts at most ``gap`` after the previous one
+    (exactly-gap-later still merges: the merge condition is next.start <=
+    prev session end); the session's window end is last-event-time + gap.
+
+    Output uses epoch MICROseconds (``unix_micros``) for the boundaries —
+    the events table carries microsecond timestamps, and integer micros
+    give engine-exact window identity against a DuckDB gaps-and-islands
+    oracle (lag diff strictly > gap starts a new island).  ``value`` is summed as
+    integer cents (floor(v·100+0.5) before the sum — associative).
+
+    Scale: one shuffle on user_id; per-user in-partition sort merges
+    sessions.  On a stream the watermark closes sessions whose end falls
+    behind it, bounding state to each user's open sessions."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_value_c"),
+        )
+        .select(
+            # parquet yields TIMESTAMP_NTZ; the session tz is pinned UTC
+            # (session.py), so the cast is offset-free
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp"))
+            .alias("session_end_us"),
+            "user_id", "n_events", "sum_value_c",
+        )
+    )
+
+
 DEDUP_OUT_SCHEMA = "content_hash string, url string, text string"
 DEDUP_STATE_SCHEMA = "seen boolean"
 

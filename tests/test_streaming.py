@@ -292,3 +292,79 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
                 "u/b1/03"],
     })
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_user_sessions_stream_matches_batch(spark, tmp_path):
+    """session_window sessionization replayed through a readStream in
+    append mode: once the watermark passes every session's end, the sink
+    holds exactly the batch-path sessions."""
+    import pandas as pd
+
+    from full_text_index_spark.streaming import user_sessions
+
+    pdf = _synth_events(n=400, seed=11)
+    rng = np.random.RandomState(13)
+    pdf["user_id"] = rng.randint(0, 12, size=len(pdf)).astype(np.int64)
+    src = str(tmp_path / "ev_sess")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    # far-future sentinel (later mod time → later micro-batch) drives the
+    # watermark past every real session's end so append mode emits them all
+    sentinel = pdf.head(1).copy()
+    sentinel["event_id"] = 10**6
+    sentinel["ts"] = pd.Timestamp("2024-01-01 12:00:00")
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double, "
+        "user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        user_sessions(stream)
+        .writeStream.format("memory").queryName("sess_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = user_sessions(spark.read.parquet(src)).toPandas()
+    sentinel_us = int(sentinel["ts"].iloc[0].timestamp() * 1_000_000)
+    closed = batch[batch["session_end_us"] <= sentinel_us - 2 * 3600 * 10**6]
+    assert len(closed) > 10
+    got = spark.sql("SELECT * FROM sess_sink").toPandas()
+    key = ["user_id", "session_start_us"]
+    exp = closed.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)[exp.columns]
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_user_sessions_gap_boundary(spark):
+    """An event exactly `gap` after the previous one still MERGES (the
+    merge condition is next.start <= prev session end); one microsecond
+    past the gap starts a new session.  The DuckDB oracle's strictly->
+    island boundary encodes the same rule."""
+    import pandas as pd
+
+    from full_text_index_spark.streaming import user_sessions
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(minutes=30)
+    pdf = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+        "ts": [base, base + gap,                      # exactly gap → merge
+               base, base + gap + pd.Timedelta(microseconds=1)],  # > gap
+        "event_type": ["a"] * 4,
+        "value": [1.0] * 4,
+    })
+    got = (
+        user_sessions(spark.createDataFrame(pdf))
+        .orderBy("user_id", "session_start_us")
+        .toPandas()
+    )
+    assert list(got["user_id"]) == [1, 2, 2]
+    assert list(got["n_events"]) == [2, 1, 1]
+    # merged session's end = last event ts + gap
+    end_us = int((base + 2 * gap).timestamp() * 1_000_000)
+    assert int(got["session_end_us"].iloc[0]) == end_us
