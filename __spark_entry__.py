@@ -611,6 +611,17 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev).orderBy("window_start_s", "event_type")
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdicts (dedup → quality → lang gates) over
+    the documents table — functions/pipeline.curate; the oracle composes
+    the three already-verified component oracles as CTEs with the same
+    gate precedence."""
+    from full_text_index_spark.functions.pipeline import curate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return curate(docs).orderBy("doc_id")
+
+
 def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window, gap 30 min) over the
     events table — the same operator runs under a watermark on a stream;
@@ -667,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "windowed_events": _q_windowed_events,
         "user_sessions": _q_user_sessions,
+        "curation_pipeline": _q_curation,
     }
 
 
@@ -1416,6 +1428,42 @@ SELECT min(epoch_us(ts))::BIGINT AS session_start_us,
 FROM s
 GROUP BY user_id, sid
 ORDER BY user_id, 1
+""".strip()
+
+    # curation pipeline: the three component oracles (already verified
+    # standalone) composed as subqueries, with gate constants imported from
+    # functions/pipeline.py so engine and oracle move in lockstep.
+    from full_text_index_spark.functions import pipeline as PL
+
+    sqls["curation_pipeline"] = f"""
+WITH q AS (SELECT doc_id, n_tokens, uniq_ratio_i, stop_ratio_i
+           FROM ({sqls['quality_score']})),
+l AS (SELECT doc_id, lang_pred FROM ({sqls['lang_id']})),
+dd AS (SELECT doc_id, is_duplicate, group_size FROM ({sqls['dedup_exact']})),
+j AS (
+  SELECT d.doc_id, dd.is_duplicate, dd.group_size,
+         q.n_tokens, q.uniq_ratio_i, q.stop_ratio_i, l.lang_pred
+  FROM documents d
+  JOIN dd ON dd.doc_id = d.doc_id
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  JOIN l ON l.doc_id = d.doc_id
+),
+v AS (
+  SELECT *,
+         CASE WHEN is_duplicate THEN 'dup'
+              WHEN n_tokens IS NULL OR n_tokens < {PL.MIN_TOKENS}
+                   OR uniq_ratio_i < {PL.MIN_UNIQ_I}
+                   OR stop_ratio_i > {PL.MAX_STOP_I} THEN 'quality'
+              WHEN lang_pred = 'und' THEN 'lang'
+              ELSE 'ok' END AS reason
+  FROM j
+)
+SELECT doc_id, (reason = 'ok') AS keep, reason, lang_pred,
+       coalesce(n_tokens, 0)::INT AS n_tokens,
+       coalesce(uniq_ratio_i, 0)::BIGINT AS uniq_ratio_i,
+       coalesce(stop_ratio_i, 0)::BIGINT AS stop_ratio_i,
+       group_size
+FROM v ORDER BY doc_id
 """.strip()
 
     return sqls

@@ -175,12 +175,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     scale = F.lit(10_000)
+    # divisor guarded: the where(n > 0) below is not an evaluation-order
+    # guarantee for the projection, and ANSI mode turns 0-token docs into
+    # DIVIDE_BY_ZERO; greatest(n,1) is identity on every surviving row
+    d = F.greatest(n, F.lit(1))
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.floor(n_stop * scale / n).cast("long").alias("stop_ratio_i"),
-        F.floor(n_uniq * scale / n).cast("long").alias("uniq_ratio_i"),
-        F.floor(tok_chars * scale / n).cast("long").alias("mean_tok_len_i"),
+        F.floor(n_stop * scale / d).cast("long").alias("stop_ratio_i"),
+        F.floor(n_uniq * scale / d).cast("long").alias("uniq_ratio_i"),
+        F.floor(tok_chars * scale / d).cast("long").alias("mean_tok_len_i"),
     ).where(n > 0)
 
 
