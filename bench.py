@@ -28,7 +28,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from full_text_index_spark.build import build_index  # noqa: E402
 from full_text_index_spark.functions import dedup as D  # noqa: E402
 from full_text_index_spark.functions import similarity as S  # noqa: E402
+from full_text_index_spark.functions import pipeline as PL  # noqa: E402
 from full_text_index_spark.functions import textstats as TS  # noqa: E402
+from full_text_index_spark import streaming as ST  # noqa: E402
 from full_text_index_spark.index import InvertedIndex  # noqa: E402
 from full_text_index_spark.query import bm25_topk  # noqa: E402
 from full_text_index_spark.session import get_spark  # noqa: E402
@@ -197,6 +199,13 @@ def main() -> None:
                   .collect())
             timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())
             timed("quality_score", lambda: TS.quality_score(docs).count())
+            timed("curation_pipeline", lambda: PL.curate(docs).count())
+            ev_path = os.path.join(sf_dir, "events.parquet")
+            if os.path.exists(ev_path):
+                ev = spark.read.parquet(ev_path)
+                timed("windowed_events",
+                      lambda: ST.windowed_event_counts(ev).count())
+                timed("user_sessions", lambda: ST.user_sessions(ev).count())
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
