@@ -3,25 +3,32 @@ pipeline actually runs in front of indexing — quality gate, language gate,
 exact dedup — as ONE declarative DataFrame plan.
 
 The reference engine stops at index/query (SURVEY.md §2); this module is
-part of the training-data-pipeline surface layered on top.  Each stage is
-the already-verified operator (textstats.quality_score, textstats.lang_id,
-dedup.exact_dedup); the pipeline only joins their outputs on doc_id and
-folds the keep/drop decision into columns, so Catalyst sees one plan and
-can share the documents scan across stages.
+part of the training-data-pipeline surface layered on top.  The feature
+expressions are shared with the standalone operators
+(textstats.quality_feature_cols / lang_score_cols / lang_pred_expr), but
+the pipeline FUSES them: ONE scan of documents computes md5 + quality
+features + language scores in a single codegen'd projection, and the
+dedup group statistics (canonical id, group size) come from a window over
+content_key — ONE hash exchange, no joins.  The naive composition (call
+each verified op, join on doc_id) planned 10 parquet scans and 10
+exchanges at 500 docs; at 100 TB that is 10 reads of the corpus for a
+single-pass problem.
 
-Scale: three joins on doc_id over same-partitioned aggregates; no stage
-collects to the driver.  The dedup stage's groupBy(md5) is the only
-content-keyed shuffle; quality/lang are per-row column expressions that
-stay in whole-stage codegen.
+Scale: scan → project → Exchange(content_key) → window → project.  The
+only shuffle carries (doc_id, content_key, 5 ints, lang_pred) — no text —
+so its volume is ~40 bytes/doc regardless of document size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from full_text_index_spark.functions.dedup import exact_dedup
-from full_text_index_spark.functions.textstats import lang_id, quality_score
+from full_text_index_spark.functions.textstats import (
+    lang_pred_expr,
+    lang_score_cols,
+    quality_feature_cols,
+)
 
 # Deterministic gates (integer-scaled ×10^4 like the feature columns).
 MIN_TOKENS = 15       # shorter docs carry too little signal
@@ -39,36 +46,39 @@ def curate(docs: DataFrame) -> DataFrame:
     Output: (doc_id, keep, reason, lang_pred, n_tokens, uniq_ratio_i,
     stop_ratio_i, group_size) for every input doc — the audit table a
     curation run keeps, not just the survivors."""
-    q = quality_score(docs).select(
-        "doc_id", "n_tokens", "uniq_ratio_i", "stop_ratio_i"
+    feat = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_key"),
+        *quality_feature_cols(),
+        *lang_score_cols(),
+    ).select(
+        "doc_id", "content_key", "n_tokens", "uniq_ratio_i", "stop_ratio_i",
+        lang_pred_expr().alias("lang_pred"),
     )
-    lang = lang_id(docs).select("doc_id", "lang_pred")
-    dd = exact_dedup(docs).select("doc_id", "is_duplicate", "group_size")
-    joined = (
-        docs.select("doc_id")
-        .join(dd, "doc_id")
-        .join(q, "doc_id", "left")  # n_tokens==0 docs have no quality row
-        .join(lang, "doc_id")
+    w = Window.partitionBy("content_key")
+    grouped = feat.select(
+        "*",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
     quality_fail = (
-        F.col("n_tokens").isNull()
-        | (F.col("n_tokens") < MIN_TOKENS)
+        (F.col("n_tokens") < MIN_TOKENS)
         | (F.col("uniq_ratio_i") < MIN_UNIQ_I)
         | (F.col("stop_ratio_i") > MAX_STOP_I)
     )
     reason = (
-        F.when(F.col("is_duplicate"), F.lit("dup"))
+        F.when(F.col("doc_id") != F.col("canonical_id"), F.lit("dup"))
         .when(quality_fail, F.lit("quality"))
         .when(F.col("lang_pred") == "und", F.lit("lang"))
         .otherwise(F.lit("ok"))
     )
-    return joined.select(
+    return grouped.select(
         "doc_id",
         (reason == "ok").alias("keep"),
         reason.alias("reason"),
         "lang_pred",
-        F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
-        F.coalesce("uniq_ratio_i", F.lit(0)).alias("uniq_ratio_i"),
-        F.coalesce("stop_ratio_i", F.lit(0)).alias("stop_ratio_i"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "uniq_ratio_i",
+        "stop_ratio_i",
         "group_size",
     )

@@ -163,9 +163,13 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Per-doc quality features (×10^4, integer-scaled for cross-engine
-    comparison): stopword ratio, unique-token ratio, mean token length."""
+def quality_feature_cols() -> list:
+    """The quality feature columns (×10^4 integer-scaled) as aliased
+    expressions over a `text` column — shared by quality_score and the
+    fused curation pipeline so both compute bit-identical features.
+    Divisors are guarded with greatest(n,1): ANSI mode turns 0-token docs
+    into DIVIDE_BY_ZERO and a downstream where(n>0) does not pin the
+    projection's evaluation order (identity on every n>0 row)."""
     toks = tokens_col(F.col("text"))
     sw = F.array([F.lit(s) for s in STOPWORDS])
     n = F.size(toks)
@@ -175,17 +179,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     scale = F.lit(10_000)
-    # divisor guarded: the where(n > 0) below is not an evaluation-order
-    # guarantee for the projection, and ANSI mode turns 0-token docs into
-    # DIVIDE_BY_ZERO; greatest(n,1) is identity on every surviving row
     d = F.greatest(n, F.lit(1))
-    return docs.select(
-        "doc_id",
+    return [
         n.alias("n_tokens"),
         F.floor(n_stop * scale / d).cast("long").alias("stop_ratio_i"),
         F.floor(n_uniq * scale / d).cast("long").alias("uniq_ratio_i"),
         F.floor(tok_chars * scale / d).cast("long").alias("mean_tok_len_i"),
-    ).where(n > 0)
+    ]
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features (×10^4, integer-scaled for cross-engine
+    comparison): stopword ratio, unique-token ratio, mean token length."""
+    return docs.select("doc_id", *quality_feature_cols()).where(
+        F.col("n_tokens") > 0
+    )
 
 
 # character-trigram profiles for the language-ID heuristic — 10 languages,
@@ -208,10 +216,12 @@ LANG_TRIGRAMS = {
 }
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Char-trigram-profile language ID over 10 languages: per doc, the
-    language whose profile trigrams occur most often in the lowercased text
-    (non-overlapping counts; unique-max wins, ties or zero → 'und')."""
+def lang_score_cols() -> list:
+    """Per-language trigram-count score columns (aliased ``sc_<lang>``)
+    over a `text` column — one projection's worth; the prediction in
+    lang_pred_expr references them BY NAME so the heavy substring-count
+    expressions are materialized once per row, not ~22× inside the
+    greatest/tie/CASE tree."""
     lt = F.lower(F.col("text"))
     score_cols = []
     for lang, grams in sorted(LANG_TRIGRAMS.items()):
@@ -222,7 +232,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ]
         score = sum(parts[1:], parts[0])
         score_cols.append(score.alias(f"sc_{lang}"))
-    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *score_cols)
+    return score_cols
+
+
+def lang_pred_expr():
+    """Prediction over the sc_<lang> columns: unique max wins, ties or
+    all-zero → 'und'."""
     langs = sorted(LANG_TRIGRAMS)
     best = F.greatest(*[F.col(f"sc_{l}") for l in langs])
     n_best = sum(
@@ -231,8 +246,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.when(best <= 0, F.lit("und"))
     for l in langs:  # first (alphabetical) max wins when unique
         pred = pred.when((F.col(f"sc_{l}") == best) & (n_best == 1), F.lit(l))
-    pred = pred.otherwise(F.lit("und"))
-    return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
+    return pred.otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Char-trigram-profile language ID over 10 languages: per doc, the
+    language whose profile trigrams occur most often in the lowercased text
+    (non-overlapping counts; unique-max wins, ties or zero → 'und')."""
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("lang_true"), *lang_score_cols()
+    )
+    return scored.select("doc_id", "lang_true",
+                         lang_pred_expr().alias("lang_pred"))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
