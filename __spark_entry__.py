@@ -611,6 +611,37 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev).orderBy("window_start_s", "event_type")
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent at-or-before purchase —
+    functions/asof.asof_join (union + one window pass, no band join); the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN, an independent second
+    implementation of the semantics."""
+    from full_text_index_spark.functions.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="ts", by="user_id",
+                  right_cols=["value"])
+    # no-match LEFT rows keep their row but carry -1 sentinels: NULL floats
+    # hash as NaN, and NaN compares unequal to itself in the value gate
+    return j.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1)
+        ).alias("asof_ts_us"),
+        F.coalesce(
+            F.floor(F.col("asof_value") * 100 + F.lit(0.5)).cast("long"),
+            F.lit(-1),
+        ).alias("asof_value_c"),
+    ).orderBy("event_id")
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdicts (dedup → quality → lang gates) over
     the documents table — functions/pipeline.curate; the oracle composes
@@ -679,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": _q_windowed_events,
         "user_sessions": _q_user_sessions,
         "curation_pipeline": _q_curation,
+        "asof_click_purchase": _q_asof,
     }
 
 
@@ -1464,6 +1496,23 @@ SELECT doc_id, (reason = 'ok') AS keep, reason, lang_pred,
        coalesce(stop_ratio_i, 0)::BIGINT AS stop_ratio_i,
        group_size
 FROM v ORDER BY doc_id
+""".strip()
+
+    # NATIVE ASOF LEFT JOIN — DuckDB implements the point-in-time lookup
+    # itself, so this oracle shares no mechanism with the union-window
+    # Spark implementation.  floor() of a NULL value stays NULL (LEFT rows
+    # with no prior purchase).
+    sqls["asof_click_purchase"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts)::BIGINT AS ts_us,
+       coalesce(epoch_us(r.ts), -1)::BIGINT AS asof_ts_us,
+       coalesce(CAST(floor(r.value * 100 + 0.5) AS BIGINT), -1)
+         AS asof_value_c
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
 """.strip()
 
     return sqls

@@ -206,6 +206,15 @@ def main() -> None:
                 timed("windowed_events",
                       lambda: ST.windowed_event_counts(ev).count())
                 timed("user_sessions", lambda: ST.user_sessions(ev).count())
+
+                def _asof():
+                    from full_text_index_spark.functions.asof import asof_join
+                    clicks = ev.where(F.col("event_type") == "click").select(
+                        "event_id", "user_id", "ts")
+                    purch = ev.where(F.col("event_type") == "purchase").select(
+                        "user_id", "ts", "value")
+                    return asof_join(clicks, purch, right_cols=["value"]).count()
+                timed("asof_join", _asof)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
