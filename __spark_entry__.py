@@ -642,6 +642,43 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+RANGE_WINDOW_US = 1800 * 10**6  # 30-minute follow-window
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 30 minutes AFTER each purchase by the same user —
+    functions/ranges.range_join (binned equi-join, no nested loop; zero
+    counts preserved by a left join back to purchases).  The oracle is
+    DuckDB's native inequality join."""
+    from full_text_index_spark.functions.ranges import range_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("start_us"),
+        (us + F.lit(RANGE_WINDOW_US)).alias("end_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us")
+    )
+    pairs = range_join(
+        clicks, purchases, by="user_id", point_col="click_us",
+        start_col="start_us", end_col="end_us", bin_width=RANGE_WINDOW_US,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.col("start_us").alias("ts_us"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdicts (dedup → quality → lang gates) over
     the documents table — functions/pipeline.curate; the oracle composes
@@ -711,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "curation_pipeline": _q_curation,
         "asof_click_purchase": _q_asof,
+        "range_count_clicks": _q_range_join,
     }
 
 
@@ -1513,6 +1551,21 @@ SELECT l.event_id, l.user_id,
          AS asof_value_c
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
+""".strip()
+
+    # native inequality join — no binning on the oracle side
+    sqls["range_count_clicks"] = f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       count(c.ts_us)::BIGINT AS n_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts_us >= p.ts_us AND c.ts_us <= p.ts_us + {RANGE_WINDOW_US}
+GROUP BY 1, 2, 3
+ORDER BY 1
 """.strip()
 
     return sqls
