@@ -532,6 +532,18 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into dedup CLUSTERS: minhash LSH pairs →
+    connected components (pointer-jumping min-label propagation,
+    functions/components.py) → per-doc cluster label + survivor flag.
+    Oracle: recursive-CTE transitive closure over the same pair list."""
+    from full_text_index_spark.functions.components import dedup_clusters
+
+    docs = _documents(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
@@ -734,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash_sig,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_components": _q_dedup_components,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1153,6 +1166,38 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
+""".strip()
+
+    # transitive closure of the (symmetrized) pair graph; UNION dedups, so
+    # the recursion terminates; min reachable id == the engine's
+    # pointer-jumped fixpoint label
+    sqls["dedup_components"] = f"""
+WITH RECURSIVE {_minhash_cte()},
+bands AS (
+  SELECT doc_id, (j // {rpb})::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM sigs GROUP BY doc_id, (j // {rpb})
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS node, least(s, min(d)) AS component_id FROM reach GROUP BY s)
+SELECT dd.doc_id,
+       coalesce(c.component_id, dd.doc_id)::BIGINT AS component_id,
+       (dd.doc_id = coalesce(c.component_id, dd.doc_id)) AS is_survivor
+FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node
+ORDER BY dd.doc_id
 """.strip()
 
     sqls["dedup_simhash"] = f"""

@@ -1,0 +1,104 @@
+"""Connected components over a pair list: near-duplicate PAIRS (from
+minhash_lsh_pairs / simhash_near_pairs / embedding_near_pairs) become
+dedup CLUSTERS, each labeled by its minimum member id — the step a
+curation pipeline needs before it can pick one survivor per duplicate
+group.
+
+Spark-first plan: iterative min-label propagation with pointer jumping
+(path halving), the classic MapReduce-CC recipe (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public).  Each
+round is two hash-shuffles (neighbor-min groupBy + label-table self
+join); propagation alone needs O(diameter) rounds, the pointer-jump
+join cuts that to O(log diameter).  Dedup graphs are near-cliques per
+cluster, so 2-3 rounds is typical; adversarial chains still converge in
+log rounds.  Every round ends in an eager localCheckpoint — without it
+the self-referential lineage doubles per iteration and the planner, not
+the data, becomes the bottleneck at scale.  Convergence is detected by
+an exact changed-label count, so the result is a fixpoint, not a
+round-budget guess; max_rounds only bounds pathological inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ComponentsDidNotConverge(RuntimeError):
+    """Raised when max_rounds elapsed with labels still changing."""
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``pairs``, where
+    component_id is the minimum node id reachable through the pair graph
+    (undirected).  Nodes with no pair simply don't appear — callers keep
+    singletons by left-joining this onto the full doc set and coalescing
+    to the doc's own id."""
+    e = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    lab = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(lab, sym["s"] == lab["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        prop = lab.join(nbr, "node", "left").select(
+            "node",
+            F.least("comp", F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+        )
+        # pointer jump: comp <- label(comp); halves remaining chain depth
+        parent = prop.select(
+            F.col("node").alias("comp"), F.col("comp").alias("grand")
+        )
+        new = (
+            prop.join(parent, "comp", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("grand", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("comp", "old"), "node")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select("node", F.col("comp").alias("component_id"))
+    raise ComponentsDidNotConverge(f"still changing after {max_rounds} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Every doc mapped to its near-dup cluster: (doc_id, component_id,
+    is_survivor).  Docs in no pair are their own singleton component and
+    always survive; within a cluster the minimum doc_id survives —
+    deterministic, so reruns and engines agree."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("component_id"))
+    )
