@@ -532,6 +532,37 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 17
+QUOTA_PER_SOURCE = 20
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — functions/sampling.
+    hash_split (pure map, no shuffle); oracle recomputes the identical
+    two-round affine hash and thresholds."""
+    from full_text_index_spark.functions.sampling import hash_split
+
+    return hash_split(
+        _documents(spark, sf_dir), SPLIT_WEIGHTS, seed=SPLIT_SEED
+    ).select("doc_id", "split").orderBy("doc_id")
+
+
+def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (≤20 docs per source by smallest hash) —
+    functions/sampling.group_quota_sample; oracle is the same
+    row_number window over the same hash."""
+    from full_text_index_spark.functions.sampling import group_quota_sample
+
+    return (
+        group_quota_sample(
+            _documents(spark, sf_dir), "source", QUOTA_PER_SOURCE, seed=SPLIT_SEED
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs folded into dedup CLUSTERS: minhash LSH pairs →
     connected components (pointer-jumping min-label propagation,
@@ -747,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_components": _q_dedup_components,
+        "train_split": _q_hash_split,
+        "quota_sample": _q_quota_sample,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1166,6 +1199,33 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
+""".strip()
+
+    from full_text_index_spark.functions.sampling import split_hash_sql
+    from full_text_index_spark.functions.textstats import HASH_P as _P
+
+    _h = split_hash_sql("doc_id", SPLIT_SEED)
+    _names = list(SPLIT_WEIGHTS)
+    _acc, _cases = 0.0, []
+    for _nm in _names[:-1]:
+        _acc += SPLIT_WEIGHTS[_nm]
+        _cases.append(f"WHEN h < {int(_acc * _P)} THEN '{_nm}'")
+    sqls["train_split"] = f"""
+WITH h AS (SELECT doc_id, {_h} AS h FROM documents)
+SELECT doc_id,
+       CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
+FROM h ORDER BY doc_id
+""".strip()
+
+    sqls["quota_sample"] = f"""
+WITH rk AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ({_h}) ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM rk WHERE rk <= {QUOTA_PER_SOURCE}
+ORDER BY source, doc_id
 """.strip()
 
     # transitive closure of the (symmetrized) pair graph; UNION dedups, so
