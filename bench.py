@@ -215,6 +215,31 @@ def main() -> None:
                         "user_id", "ts", "value")
                     return asof_join(clicks, purch, right_cols=["value"]).count()
                 timed("asof_join", _asof)
+                timed(
+                    "range_join",
+                    lambda: entrymod.queries()["range_count_clicks"](
+                        spark, sf_dir
+                    ).count(),
+                )
+
+            def _components():
+                from full_text_index_spark.functions.components import (
+                    dedup_clusters,
+                )
+                return dedup_clusters(docs, D.minhash_lsh_pairs(docs)).count()
+            timed("dedup_components", _components)
+
+            def _sampling():
+                from full_text_index_spark.functions.sampling import (
+                    group_quota_sample,
+                    hash_split,
+                )
+                hash_split(docs, entrymod.SPLIT_WEIGHTS).count()
+                gcol = "source" if "source" in docs.columns else "doc_id"
+                return group_quota_sample(
+                    docs, gcol, entrymod.QUOTA_PER_SOURCE
+                ).count()
+            timed("sampling", _sampling)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
