@@ -535,6 +535,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 17
 QUOTA_PER_SOURCE = 20
+BOILER_W = 3
+BOILER_MIN_DF = 5
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate strip: token-chunks repeated across ≥5
+    docs removed from every doc — functions/boilerplate.remove_boilerplate
+    (broadcast anti-join against the df-head). Oracle recomputes the
+    identical chunking and df threshold."""
+    from full_text_index_spark.functions.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(
+        _documents(spark, sf_dir), BOILER_W, BOILER_MIN_DF
+    ).orderBy("doc_id")
 
 
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "train_split": _q_hash_split,
         "quota_sample": _q_quota_sample,
+        "boilerplate_strip": _q_boilerplate,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1215,6 +1230,35 @@ WITH h AS (SELECT doc_id, {_h} AS h FROM documents)
 SELECT doc_id,
        CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
 FROM h ORDER BY doc_id
+""".strip()
+
+    # chunker mirrored: ceil(n/W) fixed-width token chunks, 1-based
+    # inclusive DuckDB slices, trailing partial chunk kept; the unnest
+    # index filter lives INSIDE list_filter (DuckDB binder workaround)
+    _w, _mdf = BOILER_W, BOILER_MIN_DF
+    sqls["boilerplate_strip"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(t[(i*{_w}+1):least((i+1)*{_w}, len(t))], ' ') AS seg
+  FROM toks,
+       unnest(list_filter(generate_series(0, (len(t)+{_w}-1)//{_w}),
+                          i -> i*{_w}+1 <= len(t))) u(i)
+),
+boiler AS (
+  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df
+                   FROM chunks GROUP BY seg) WHERE df >= {_mdf}
+),
+kept AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM chunks WHERE seg NOT IN (SELECT seg FROM boiler) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n FROM chunks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       (t.n - coalesce(k.n_kept, 0))::BIGINT AS n_chunks_removed
+FROM documents d JOIN tot t USING (doc_id) LEFT JOIN kept k USING (doc_id)
+ORDER BY d.doc_id
 """.strip()
 
     sqls["quota_sample"] = f"""
