@@ -539,6 +539,17 @@ BOILER_W = 3
 BOILER_MIN_DF = 5
 
 
+NGRAM_N = 2
+NGRAM_TOP = 50
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token bigrams by collection frequency (LM n-gram table
+    head) — textstats.ngram_counts; plans as TakeOrderedAndProject, no
+    global sort."""
+    return TS.ngram_counts(_documents(spark, sf_dir), n=NGRAM_N, top_n=NGRAM_TOP)
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate strip: token-chunks repeated across ≥5
     docs removed from every doc — functions/boilerplate.remove_boilerplate
@@ -795,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_hash_split,
         "quota_sample": _q_quota_sample,
         "boilerplate_strip": _q_boilerplate,
+        "ngram_counts": _q_ngram_counts,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1230,6 +1242,24 @@ WITH h AS (SELECT doc_id, {_h} AS h FROM documents)
 SELECT doc_id,
        CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
 FROM h ORDER BY doc_id
+""".strip()
+
+    # OVERLAPPING n-gram windows (cf counts every occurrence — unlike the
+    # DISTINCT-per-doc dedup shingle CTE); 1-based inclusive list slices
+    _n = NGRAM_N
+    sqls["ngram_counts"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - {_n - 1}),
+                               i -> array_to_string(l[i:i+{_n - 1}], ' '))) AS ngram
+  FROM tok_arrays
+)
+SELECT ngram, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM grams GROUP BY ngram ORDER BY cf DESC, ngram LIMIT {NGRAM_TOP}
 """.strip()
 
     # chunker mirrored: ceil(n/W) fixed-width token chunks, 1-based

@@ -64,6 +64,32 @@ def vocab_stats(docs: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def ngram_counts(docs: DataFrame, n: int = 2, top_n: int = 100) -> DataFrame:
+    """(ngram, df, cf) for the top_n token n-grams by collection
+    frequency — the head of an LM-style n-gram table.  One explode + one
+    groupBy; the global top-k plans as TakeOrderedAndProject
+    (per-partition heap, driver merges top_n rows per partition — never
+    a full sort of the n-gram table).  Overlapping windows, so cf counts
+    every occurrence, unlike the dedup shingle sets."""
+    toks = tokens_col(F.col("text"))
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), "ngram")
+        .limit(top_n)
+        .select("ngram", "df", "cf")
+    )
+
+
 def h0_entropy(docs: DataFrame) -> DataFrame:
     """Empirical 0-order token entropy of the corpus (bits/token) — the
     `entrop` analog. One row: (n_tokens, vocab, h0_milli = floor(H0·10^4))."""

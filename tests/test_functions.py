@@ -268,3 +268,27 @@ def test_token_hash_matches_python_reference():
     got = {r["t"]: r["h"] for r in
            df.select("t", TS.token_hash(F.col("t")).alias("h")).collect()}
     assert got == {t: py_hash(t) for t in toks}
+
+
+def test_ngram_counts_matches_brute(docs):
+    from collections import Counter
+
+    got = TS.ngram_counts(docs, n=2, top_n=10).collect()
+    cf, dfc = Counter(), Counter()
+    for r in docs.collect():
+        toks = tokenize_py(r.text)
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        cf.update(grams)
+        dfc.update(set(grams))
+    want = sorted(cf, key=lambda g: (-cf[g], g))[:10]
+    assert [r.ngram for r in got] == want
+    for r in got:
+        assert (r.cf, r.df) == (cf[r.ngram], dfc[r.ngram])
+
+
+def test_ngram_counts_topk_plan_has_no_global_sort(docs):
+    plan = (
+        TS.ngram_counts(docs, n=2, top_n=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
