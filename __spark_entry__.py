@@ -541,6 +541,18 @@ BOILER_MIN_DF = 5
 
 NGRAM_N = 2
 NGRAM_TOP = 50
+PROFILE_QS = (0.5, 0.9, 0.99)
+
+
+def _q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length profile: exact rank-based p50/p90/p99 of
+    n_chars — functions/profiling.group_quantiles (one window shuffle,
+    integer-exact so the oracle matches bit-for-bit)."""
+    from full_text_index_spark.functions.profiling import group_quantiles
+
+    return group_quantiles(
+        _documents(spark, sf_dir), "source", "n_chars", PROFILE_QS
+    ).orderBy("source", "q_pct")
 
 
 def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "boilerplate_strip": _q_boilerplate,
         "ngram_counts": _q_ngram_counts,
+        "length_profile": _q_length_profile,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1242,6 +1255,26 @@ WITH h AS (SELECT doc_id, {_h} AS h FROM documents)
 SELECT doc_id,
        CASE {' '.join(_cases)} ELSE '{_names[-1]}' END AS split
 FROM h ORDER BY doc_id
+""".strip()
+
+    # rank-based (percentile_disc-style) quantiles: integer-exact, no
+    # interpolation — both engines pick the SAME member row per (group, q)
+    _qvals = ", ".join(
+        f"({int(round(q * 100))}, {q!r})" for q in PROFILE_QS
+    )
+    sqls["length_profile"] = f"""
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+qs AS (SELECT * FROM (VALUES {_qvals}) q(q_pct, q))
+SELECT source, q.q_pct::INT AS q_pct, n_chars::BIGINT AS quantile,
+       n::BIGINT AS n
+FROM ranked r JOIN qs q ON floor(q.q * (r.n - 1))::BIGINT = r.rk
+ORDER BY source, q_pct
 """.strip()
 
     # OVERLAPPING n-gram windows (cf counts every occurrence — unlike the
