@@ -337,13 +337,19 @@ _KEY_SHIFT = np.int64(1) << np.int64(32)
 # decode happens.
 ALLJOIN_CHEAP_CF = 250_000
 
-# a candidate costs more than a decoded posting (probe-row shuffle, block
-# lookup per cover slot), so rarest-first must cut decoded volume by at
-# least this factor to win.  On flat gram-frequency workloads (random
-# slices over a low-diversity corpus) total_cand ≈ all_cf / n_windows and
-# the all-windows join's single shuffle is the better plan; on natural
-# workloads (a rare gram per pattern) total_cand ≪ all_cf and
-# rarest-first wins by the posting-volume ratio.
+# rarest-first must cut ESTIMATED decoded volume by at least this factor
+# to repay its extra stages (probe shuffle + verify job vs the alljoin's
+# single job).  The estimate is block-aware (see the chooser): each
+# verify gram decodes at most one block per candidate, capped by its own
+# cf — so on flat gram-frequency workloads (random slices over a
+# low-diversity corpus, where candidates touch nearly every block of
+# every verify gram) the estimate approaches all_cf and the alljoin wins,
+# while a genuinely rare candidate gram bounds the verify decode to
+# cand·block ≪ all_cf and rarest-first wins by the real ratio.  The old
+# candidate-COUNT heuristic (total_cand·4 > all_cf) ignored verify block
+# decodes and picked rarest-first on flat workloads where measured decode
+# reduction was only ~1.4× (BENCH §d control rows) — 17 s vs ~3 s serial
+# on the bench pattern set.
 RAREST_WIN_FACTOR = 4
 
 
@@ -631,16 +637,28 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
     covers = {p: _greedy_cover(windows[p], cf, k) for p in live}
     cand_slot = {p: min(covers[p], key=lambda s: (cf[windows[p][s]], s))
                  for p in live}
-    total_cand = sum(cf[windows[p][cand_slot[p]]] for p in live
-                     if len(covers[p]) > 1)
     all_cf = sum(cf[g] for p in live for g in set(windows[p]))
     # cost-based choice ("auto"): the all-windows join is ONE job — it wins
-    # when the whole decode is cheap OR when the rarest grams aren't rare
-    # enough to repay the candidate pipeline's extra stages.  "rarest"
-    # forces the candidate+verify plan (benchmarks, tests).
+    # when the whole decode is cheap OR when the rarest plan's ESTIMATED
+    # decode isn't far below it.  Estimate: candidates decode cf(rarest);
+    # each verify gram decodes at most one block_size-posting block per
+    # candidate (the kernel's block-targeted lookup), never more than its
+    # whole list.  "rarest" forces the candidate+verify plan (benchmarks,
+    # tests).
+    block = int(index.meta.get("block_size", 128))
+    est_rarest = total_cand = 0
+    for p in live:
+        if len(covers[p]) <= 1:
+            continue  # no verify stage; both plans decode the same gram
+        cand_cf = cf[windows[p][cand_slot[p]]]
+        total_cand += cand_cf
+        est_rarest += cand_cf
+        for s in covers[p]:
+            if s != cand_slot[p]:
+                est_rarest += min(cf[windows[p][s]], cand_cf * block)
     if plan == "auto" and (
         all_cf <= ALLJOIN_CHEAP_CF
-        or total_cand * RAREST_WIN_FACTOR > all_cf
+        or est_rarest * RAREST_WIN_FACTOR > all_cf
     ):
         return _locate_via_all_windows(index, patterns)
 
