@@ -681,6 +681,22 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.binary_features(MM.synth_payloads(docs)).orderBy("doc_id")
 
 
+IMG_STRIDE = 2
+WAV_STRIDE = 4
+
+
+def _q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media transforms: nearest-neighbor image resize (stride-2
+    pixel keep, re-encoded as valid P6) and audio frame-sampling
+    (stride-4 decimation, re-encoded WAV), features extracted from the
+    TRANSFORMED media — the oracle recomputes the kept-pixel/kept-sample
+    integer streams in closed form from doc_id."""
+    docs = _documents(spark, sf_dir)
+    return MM.media_resample(
+        MM.synth_payloads(docs), IMG_STRIDE, WAV_STRIDE
+    ).orderBy("doc_id")
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows over the events table — the SAME
     transformation streaming.windowed_event_counts applies under a
@@ -830,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal,
+        "multimodal_resample": _q_multimodal_resample,
         "windowed_events": _q_windowed_events,
         "user_sessions": _q_user_sessions,
         "curation_pipeline": _q_curation,
@@ -1662,6 +1679,56 @@ FROM ppm_s
 UNION ALL
 SELECT doc_id, 'wav', {MM.WAV_RATE}::INT, 1::INT, n::BIGINT,
        ((s_abs * 10000) // n)::BIGINT, (s_words % 2147483647)::BIGINT
+FROM wav_s
+ORDER BY doc_id
+""".strip()
+
+    # the resample transform in closed form: kept pixels are (2r, 2c, ch)
+    # of the original raster, kept samples are indices 4j — the oracle
+    # sums the exact integer streams the strided numpy slices keep
+    _is, _ws = IMG_STRIDE, WAV_STRIDE
+    sqls["multimodal_resample"] = f"""
+WITH ppm_r AS (
+  SELECT doc_id,
+         (8 + doc_id % 5) AS w,
+         ((8 + doc_id % 5) + {_is - 1}) // {_is} AS nw,
+         ((6 + doc_id % 4) + {_is - 1}) // {_is} AS nh
+  FROM documents WHERE doc_id % 2 = 0
+),
+ppm_s AS (
+  SELECT doc_id, nw, nh, nw * nh * 3 AS n,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, nw * nh * 3 - 1),
+             j -> (doc_id * 31 + 7 * (
+                     3 * ((j // (nw * 3)) * {_is} * w
+                          + ((j % (nw * 3)) // 3) * {_is})
+                     + j % 3)) % 256)),
+           (a, b) -> a + b) AS s
+  FROM ppm_r
+),
+wav_r AS (
+  SELECT doc_id, ((64 + doc_id % 33) + {_ws - 1}) // {_ws} AS nn
+  FROM documents WHERE doc_id % 2 = 1
+),
+wav_s AS (
+  SELECT doc_id, nn,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, nn - 1),
+             j -> abs(((doc_id * 13 + 17 * ({_ws} * j)) % 65536) - 32768))),
+           (a, b) -> a + b) AS s_abs,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, nn - 1),
+             j -> (doc_id * 13 + 17 * ({_ws} * j)) % 65536)),
+           (a, b) -> a + b) AS s_words
+  FROM wav_r
+)
+SELECT doc_id, 'ppm' AS kind, nw::INT AS dim1, nh::INT AS dim2,
+       n::BIGINT AS n_units, ((s * 10000) // n)::BIGINT AS mean_i,
+       (s % 2147483647)::BIGINT AS checksum
+FROM ppm_s
+UNION ALL
+SELECT doc_id, 'wav', {MM.WAV_RATE}::INT, 1::INT, nn::BIGINT,
+       ((s_abs * 10000) // nn)::BIGINT, (s_words % 2147483647)::BIGINT
 FROM wav_s
 ORDER BY doc_id
 """.strip()

@@ -181,6 +181,69 @@ def decode_payload(payload: bytes) -> dict:
     )
 
 
+def resize_image(payload: bytes, stride: int) -> bytes:
+    """REAL nearest-neighbor downsample of a PPM P6: keep every stride-th
+    pixel on both axes (offset 0 — new dims ceil(w/s) × ceil(h/s)) and
+    re-encode a VALID P6 (the resample pipeline re-decodes it, so a broken
+    re-encode can't pass).  numpy strided slicing; no Python per pixel."""
+    w, h, raster = _parse_ppm(payload)
+    out = raster.reshape(h, w, 3)[::stride, ::stride, :]
+    nh, nw = out.shape[0], out.shape[1]
+    return f"P6\n{nw} {nh}\n255\n".encode() + np.ascontiguousarray(out).tobytes()
+
+
+def sample_frames(payload: bytes, stride: int) -> bytes:
+    """Decimate a PCM16 WAV: keep every stride-th sample (offset 0) and
+    re-encode a valid RIFF/PCM16 file.  The header keeps the ORIGINAL
+    sample rate — this is frame sampling for feature extraction, not a
+    playback-rate conversion (no anti-alias filter)."""
+    rate, channels, samples = _parse_wav(payload)
+    data = samples[::stride].astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def media_resample(
+    docs_with_payload: DataFrame,
+    img_stride: int = 2,
+    wav_stride: int = 4,
+) -> DataFrame:
+    """Resize images / frame-sample audio, then extract the features of
+    the TRANSFORMED media: decode → transform → re-encode → decode again,
+    all inside one Arrow batch.  The second decode is deliberate — it
+    proves every re-encoded payload is itself valid media, and reuses the
+    one feature definition so the oracle covers the transform in closed
+    form."""
+
+    def xform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nb = (
+                    resize_image(b, img_stride)
+                    if b[:2] == b"P6"
+                    else sample_frames(b, wav_stride)
+                )
+                f = decode_payload(nb)
+                rows.append((int(doc_id), f["kind"], f["dim1"], f["dim2"],
+                             f["n_units"], f["mean_i"], f["checksum"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "dim1", "dim2", "n_units",
+                         "mean_i", "checksum"],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        xform, schema=FEATURE_SCHEMA
+    )
+
+
 def binary_features(docs_with_payload: DataFrame) -> DataFrame:
     """(doc_id, payload binary) → decoded typed features, via Arrow-batched
     mapInPandas (vectorized batches; payloads never hit the driver)."""

@@ -292,3 +292,41 @@ def test_ngram_counts_topk_plan_has_no_global_sort(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resize_image_nearest_neighbor():
+    doc_id = 4  # even → PPM
+    w, h = MM.ppm_dims(doc_id)
+    buf = MM.synth_payload(doc_id)
+    out = MM.resize_image(buf, 2)
+    f = MM.decode_payload(out)  # re-decode: resized payload must be valid P6
+    assert (f["dim1"], f["dim2"]) == (-(-w // 2), -(-h // 2))
+    # pixel-exact vs numpy strided reference
+    i = np.arange(w * h * 3, dtype=np.int64)
+    img = ((doc_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+    want = img[::2, ::2, :]
+    got = np.frombuffer(out.split(b"\n", 3)[3], dtype=np.uint8).reshape(
+        want.shape
+    )
+    assert np.array_equal(got, want)
+
+
+def test_sample_frames_decimation():
+    doc_id = 7  # odd → WAV
+    n = MM.wav_n_samples(doc_id)
+    out = MM.sample_frames(MM.synth_payload(doc_id), 4)
+    f = MM.decode_payload(out)
+    assert f["kind"] == "wav" and f["n_units"] == -(-n // 4)
+    i = np.arange(n, dtype=np.int64)[::4]
+    want = (((doc_id * 13 + 17 * i) % 65536) - 32768).astype(np.int64)
+    assert f["mean_i"] == (int(np.abs(want).sum()) * 10_000) // len(want)
+
+
+def test_resample_stride_one_is_identity(spark):
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    base = MM.binary_features(MM.synth_payloads(docs)).orderBy("doc_id").collect()
+    same = (
+        MM.media_resample(MM.synth_payloads(docs), img_stride=1, wav_stride=1)
+        .orderBy("doc_id").collect()
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in same]
