@@ -562,6 +562,12 @@ def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_counts(_documents(spark, sf_dir), n=NGRAM_N, top_n=NGRAM_TOP)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-n-gram fractions (Gopher-style repetition
+    filters) — textstats.repetition_stats; pure projection, no shuffle."""
+    return TS.repetition_stats(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate strip: token-chunks repeated across ≥5
     docs removed from every doc — functions/boilerplate.remove_boilerplate
@@ -836,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _q_boilerplate,
         "ngram_counts": _q_ngram_counts,
         "length_profile": _q_length_profile,
+        "repetition_stats": _q_repetition,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1292,6 +1299,30 @@ SELECT source, q.q_pct::INT AS q_pct, n_chars::BIGINT AS quantile,
        n::BIGINT AS n
 FROM ranked r JOIN qs q ON floor(q.q * (r.n - 1))::BIGINT = r.rk
 ORDER BY source, q_pct
+""".strip()
+
+    # duplicate-window fractions: same overlapping windows, per doc;
+    # floor of the IEEE double quotient matches Spark (ints < 2^53, true
+    # remainder ≥ 1/total away from the next integer)
+    def _dup_sql(n: int) -> str:
+        grams = (
+            f"list_transform(generate_series(1, len(l) - {n - 1}), "
+            f"i -> array_to_string(l[i:i+{n - 1}], ' '))"
+        )
+        return (
+            f"greatest(len(l) - {n - 1}, 0)::BIGINT AS n_{n}grams, "
+            f"(CASE WHEN len(l) >= {n} THEN floor((len({grams}) - "
+            f"len(list_distinct({grams}))) * 10000 / (len(l) - {n - 1})) "
+            f"ELSE 0 END)::BIGINT AS dup_{n}gram_frac_i"
+        )
+
+    sqls["repetition_stats"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+)
+SELECT doc_id, {_dup_sql(2)}, {_dup_sql(3)}
+FROM tok_arrays ORDER BY doc_id
 """.strip()
 
     # OVERLAPPING n-gram windows (cf counts every occurrence — unlike the

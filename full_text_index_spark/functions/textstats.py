@@ -71,15 +71,7 @@ def ngram_counts(docs: DataFrame, n: int = 2, top_n: int = 100) -> DataFrame:
     (per-partition heap, driver merges top_n rows per partition — never
     a full sort of the n-gram table).  Overlapping windows, so cf counts
     every occurrence, unlike the dedup shingle sets."""
-    toks = tokens_col(F.col("text"))
-    cnt = F.size(toks) - (n - 1)
-    grams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _gram_windows(tokens_col(F.col("text")), n)
     return (
         docs.select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
@@ -88,6 +80,48 @@ def ngram_counts(docs: DataFrame, n: int = 2, top_n: int = 100) -> DataFrame:
         .limit(top_n)
         .select("ngram", "df", "cf")
     )
+
+
+def _gram_windows(toks, n: int):
+    """array<string> of overlapping n-token windows (empty when the doc
+    has fewer than n tokens — guarded: sequence(1, 0) would count down)."""
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Per-doc repetition signals (the Gopher-style duplicate-n-gram
+    filters a webtext curation run keys on): for each n, the fraction of
+    n-gram windows that are repeats of an earlier window in the SAME doc,
+    integer-scaled — dup_frac = floor((total − distinct)·10⁴ / total),
+    0 for docs shorter than n tokens.  Pure column expressions
+    (array_distinct inside one projection): no shuffle, no UDF; floor of
+    an IEEE double quotient of ints < 2^53 is engine-exact here because
+    the true remainder keeps the quotient ≥ 1/total away from the next
+    integer."""
+    toks = tokens_col(F.col("text"))
+    cols = []
+    for n in ns:
+        g = _gram_windows(toks, n)
+        total = F.size(g)
+        distinct = F.size(F.array_distinct(g))
+        cols.append(total.cast("long").alias(f"n_{n}grams"))
+        cols.append(
+            F.when(
+                total > 0,
+                F.floor((total - distinct).cast("long") * 10_000 / total),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias(f"dup_{n}gram_frac_i")
+        )
+    return docs.select("doc_id", *cols)
 
 
 def h0_entropy(docs: DataFrame) -> DataFrame:

@@ -330,3 +330,27 @@ def test_resample_stride_one_is_identity(spark):
         .orderBy("doc_id").collect()
     )
     assert [tuple(r) for r in base] == [tuple(r) for r in same]
+
+
+def test_repetition_stats_matches_brute(docs):
+    got = {r.doc_id: r for r in TS.repetition_stats(docs).collect()}
+    for row in docs.collect():
+        toks = tokenize_py(row.text)
+        for n in (2, 3):
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            want_total = max(len(toks) - n + 1, 0)
+            want_dup = (
+                ((len(grams) - len(set(grams))) * 10_000) // len(grams)
+                if grams else 0
+            )
+            r = got[row.doc_id]
+            assert r[f"n_{n}grams"] == want_total
+            assert r[f"dup_{n}gram_frac_i"] == want_dup, (row.doc_id, n)
+
+
+def test_repetition_stats_no_shuffle(docs):
+    plan = (
+        TS.repetition_stats(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
