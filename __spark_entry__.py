@@ -375,6 +375,33 @@ def _q_display_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern", "doc_id", "occ_idx")
 
 
+# regex workload (trigram-pruned regex search, Cox 2012): long-literal
+# prune ("row sca"), multi-run prune, short literals (tails path),
+# no-literal scan fallback, and an absent literal answered 0 with no text
+# access; every construct is common Java-regex/RE2 subset so the DuckDB
+# oracle evaluates identically
+REGEX_PATTERNS = [
+    "row sca[nd]",
+    "valu(e|ing) part",
+    "qu[a-z]*k",
+    "[0-9]{4,}",
+    "zzzq+",
+]
+
+
+def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex matching answered through the k-gram index: required-literal
+    pruning (substring machinery) + RLIKE verify on candidate docs only
+    (reference pattern drivers: utils/run_queries.c:46-121)."""
+    from full_text_index_spark.regex_search import regex_count
+
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        regex_count(idx, _documents(spark, sf_dir), REGEX_PATTERNS)
+        .orderBy("pattern")
+    )
+
+
 BOOL_QUERIES: list[tuple[int, list[str]]] = [
     (0, ["join", "hash"]),
     (1, ["dup", "stream", "row"]),
@@ -821,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_locate": _q_substring_locate,
         "substring_locate_short": _q_substring_locate_short,
         "display_substring": _q_display_substring,
+        "regex_search": _q_regex_search,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
@@ -980,6 +1008,22 @@ SELECT probe.pattern AS pattern,
 FROM probe LEFT JOIN (
   SELECT pattern, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
   FROM hits GROUP BY pattern
+) a USING (pattern)
+ORDER BY pattern
+""".strip()
+
+    regex_vals = ", ".join(f"('{p}')" for p in REGEX_PATTERNS)
+    sqls["regex_search"] = f"""
+WITH probe(pattern) AS (VALUES {regex_vals}),
+m AS (
+  SELECT probe.pattern AS pattern, d.doc_id AS doc_id
+  FROM documents d CROSS JOIN probe
+  WHERE regexp_matches(d.text, probe.pattern)
+)
+SELECT probe.pattern AS pattern,
+       coalesce(a.n, 0)::BIGINT AS n_docs_matching
+FROM probe LEFT JOIN (
+  SELECT pattern, count(DISTINCT doc_id) AS n FROM m GROUP BY pattern
 ) a USING (pattern)
 ORDER BY pattern
 """.strip()
