@@ -178,6 +178,18 @@ def main() -> None:
                     "substring_short_batch",
                     lambda: substring_count(gidx, short_pats).collect(),
                 )
+                from full_text_index_spark.regex_search import regex_count
+
+                # literal-pruned, alternation, scan-fallback and absent
+                # patterns — one batch through every regex routing
+                rx_pats = sorted(
+                    {f"{p[:4]}[a-z ]*{p[-2:]}" for p in sub_patterns[:6]}
+                ) + ["(%s|%s)" % (sub_patterns[0][:5], sub_patterns[-1][:5]),
+                     "[0-9]{6,}", "zzzqzz+q"]
+                timed(
+                    "regex_batch",
+                    lambda: regex_count(gidx, docs, rx_pats).collect(),
+                )
             finally:
                 shutil.rmtree(gram_root, ignore_errors=True)
             timed("dedup_exact", lambda: D.exact_dedup(docs).count())
