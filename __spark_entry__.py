@@ -402,6 +402,35 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4 → typed placeholders + counts).  The
+    synthetic corpus carries no PII, so the entry injects a deterministic
+    doc_id-derived contact line into 2/3 of the docs first — the SAME
+    formula the DuckDB oracle applies — then redacts."""
+    from full_text_index_spark.functions.textstats import pii_redact
+
+    d = F.col("doc_id")
+    injected = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.when(d % 3 == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), d.cast("string"),
+                F.lit("@example.com or 555-"),
+                (F.lit(1000) + d % 9000).cast("string"),
+                F.lit(" at 10."), (d % 256).cast("string"),
+                F.lit(".0."), (d % 100).cast("string"),
+            )
+        ),
+    )
+    out = pii_redact(injected)
+    return out.select(
+        "doc_id", "clean_text",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_email", "n_phone", "n_ipv4")],
+    ).orderBy("doc_id")
+
+
 BOOL_QUERIES: list[tuple[int, list[str]]] = [
     (0, ["join", "hash"]),
     (1, ["dup", "stream", "row"]),
@@ -849,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_locate_short": _q_substring_locate_short,
         "display_substring": _q_display_substring,
         "regex_search": _q_regex_search,
+        "pii_redact": _q_pii_redact,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
@@ -1010,6 +1040,42 @@ FROM probe LEFT JOIN (
   FROM hits GROUP BY pattern
 ) a USING (pattern)
 ORDER BY pattern
+""".strip()
+
+    # PII redaction — patterns imported from the engine module so the two
+    # implementations cannot drift; counts are taken on the PREVIOUS
+    # redaction stage's text, mirroring pii_redact's chained semantics
+    from full_text_index_spark.functions.textstats import PII_PATTERNS
+
+    (em_n, em_p, em_t), (ph_n, ph_p, ph_t), (ip_n, ip_p, ip_t) = PII_PATTERNS
+    sqls["pii_redact"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-'
+                   || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{em_p}'))::BIGINT AS n_{em_n},
+         regexp_replace(text, '{em_p}', '{em_t}', 'g') AS t1
+  FROM inj
+),
+p AS (
+  SELECT doc_id, n_{em_n},
+         len(regexp_extract_all(t1, '{ph_p}'))::BIGINT AS n_{ph_n},
+         regexp_replace(t1, '{ph_p}', '{ph_t}', 'g') AS t2
+  FROM e
+)
+SELECT doc_id, n_{em_n}, n_{ph_n},
+       len(regexp_extract_all(t2, '{ip_p}'))::BIGINT AS n_{ip_n},
+       regexp_replace(t2, '{ip_p}', '{ip_t}', 'g') AS clean_text
+FROM p ORDER BY doc_id
 """.strip()
 
     regex_vals = ", ".join(f"('{p}')" for p in REGEX_PATTERNS)

@@ -320,6 +320,40 @@ def lang_id(docs: DataFrame) -> DataFrame:
                          lang_pred_expr().alias("lang_pred"))
 
 
+# PII patterns in the Java-regex/RE2 COMMON subset (no lookaround, no
+# ambiguous alternation — leftmost-first and leftmost-longest agree), so
+# the DuckDB oracle evaluates them identically.  Redaction order matters:
+# emails first (their local parts can contain digit runs), then phones,
+# then IPv4 (its octets would otherwise be eaten by a digit-run phone
+# pattern placed after it).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses with typed placeholder
+    tokens and count what was removed — the pre-training privacy pass every
+    web-scale corpus gets before anything else touches it.
+
+    Pure JVM column expressions (`regexp_count` + chained
+    `regexp_replace`), so the scan stays in whole-stage codegen at any
+    corpus size; idempotent (placeholders match none of the patterns).
+    Returns (doc_id, clean_text, n_email, n_phone, n_ipv4).
+    """
+    cols = [F.col("doc_id")]
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(clean, F.lit(pat)).alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(*cols, clean.alias("clean_text"), *counts)
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive rolling fingerprint of the token stream:
     fold (acc*31 + token_hash(t)) % P over tokens — the document-level

@@ -354,3 +354,49 @@ def test_repetition_stats_no_shuffle(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org and sue@y.io now"),
+            (2, "call 555-1234 or 800-9999, server 192.168.1.255 up"),
+            (3, "clean text with digits 12345 and a dot. end"),
+            (4, "u@a.bc at 10.0.0.1 dial 123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TS.pii_redact(docs).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (2, 0, 0)
+    assert got[1].clean_text == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 2, 1)
+    assert got[2].clean_text == "call <PHONE> or <PHONE>, server <IP> up"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 0)
+    assert got[3].clean_text == docs.collect()[2].text
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (1, 1, 1)
+    assert got[4].clean_text == "<EMAIL> at <IP> dial <PHONE>"
+
+
+def test_pii_redact_idempotent_and_ordered(spark):
+    # digits inside an email's local part must NOT count as phones (email
+    # redaction runs first); placeholders match none of the patterns
+    docs = spark.createDataFrame(
+        [(1, "x 555-1234abc@q.co y 10.1.2.3")],
+        "doc_id long, text string",
+    )
+    first = TS.pii_redact(docs).collect()[0]
+    assert (first.n_email, first.n_phone, first.n_ipv4) == (1, 0, 1)
+    again = TS.pii_redact(
+        docs.sparkSession.createDataFrame(
+            [(1, first.clean_text)], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert again.clean_text == first.clean_text
+    assert (again.n_email, again.n_phone, again.n_ipv4) == (0, 0, 0)
+
+
+def test_pii_redact_no_shuffle(docs):
+    plan = (
+        TS.pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
