@@ -402,6 +402,43 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approximate-match workload (edit distance <= 1): one-deletion variants
+# of true corpus substrings (so hits exist), an absent pattern, and a
+# 3-char pattern the q-gram lemma cannot prune (scan-fallback routing)
+APPROX_PATTERNS = ["tble scan", "scan mrge", "batch strem", "zzzzqqqqzz",
+                   "dup"]
+APPROX_EDITS = 1
+
+
+def _q_approx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agrep-class approximate locate off the k-gram index: q-gram
+    count-filtered candidates + vectorized Levenshtein window verify
+    (Jokinen–Ukkonen filtration; reference scan-fallback posture
+    fm/fm_index.h:20-22)."""
+    from full_text_index_spark.approx import approx_locate
+
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        approx_locate(idx, _documents(spark, sf_dir), APPROX_PATTERNS,
+                      max_edits=APPROX_EDITS)
+        .orderBy("pattern", "doc_id", "cpos")
+    )
+
+
+def _q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_text_index_spark.approx import approx_count
+
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        approx_count(idx, _documents(spark, sf_dir), APPROX_PATTERNS,
+                     max_edits=APPROX_EDITS)
+        .select("pattern",
+                F.col("n_docs_matching").cast("long").alias("n_docs_matching"),
+                F.col("n_positions").cast("long").alias("n_positions"))
+        .orderBy("pattern")
+    )
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails/phones/IPv4 → typed placeholders + counts).  The
     synthetic corpus carries no PII, so the entry injects a deterministic
@@ -878,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_locate_short": _q_substring_locate_short,
         "display_substring": _q_display_substring,
         "regex_search": _q_regex_search,
+        "approx_locate": _q_approx_locate,
+        "approx_count": _q_approx_count,
         "pii_redact": _q_pii_redact,
         "boolean_and": _q_boolean_and,
         "phrase_search": _q_phrase_search,
@@ -1076,6 +1115,45 @@ SELECT doc_id, n_{em_n}, n_{ph_n},
        len(regexp_extract_all(t2, '{ip_p}'))::BIGINT AS n_{ip_n},
        regexp_replace(t2, '{ip_p}', '{ip_t}', 'g') AS clean_text
 FROM p ORDER BY doc_id
+""".strip()
+
+    # approximate matching: brute-force window-minimum Levenshtein — for
+    # start i the engine minimizes lev over slice lengths m-e..m+e, which
+    # at e=1 is the explicit least() of three levenshtein() calls (slices
+    # truncate past the end in both engines)
+    apx_vals = ", ".join(f"('{p}')" for p in APPROX_PATTERNS)
+    _apx_hits = f"""
+probe(pattern) AS (VALUES {apx_vals}),
+hits AS (
+  SELECT probe.pattern AS pattern, d.doc_id AS doc_id,
+         unnest(list_filter(
+           generate_series(1, length(d.text)),
+           i -> least({", ".join(
+               "levenshtein(substr(d.text, i, length(probe.pattern)"
+               f" + {o}), probe.pattern)"
+               for o in range(-APPROX_EDITS, APPROX_EDITS + 1)
+           )}) <= {APPROX_EDITS}
+         )) AS cpos
+  FROM documents d CROSS JOIN probe
+)
+""".strip()
+
+    sqls["approx_locate"] = f"""
+WITH {_apx_hits}
+SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+ORDER BY pattern, doc_id, cpos
+""".strip()
+
+    sqls["approx_count"] = f"""
+WITH {_apx_hits}
+SELECT probe.pattern AS pattern,
+       coalesce(a.nd, 0)::BIGINT AS n_docs_matching,
+       coalesce(a.np, 0)::BIGINT AS n_positions
+FROM probe LEFT JOIN (
+  SELECT pattern, count(DISTINCT doc_id) AS nd, count(*) AS np
+  FROM hits GROUP BY pattern
+) a USING (pattern)
+ORDER BY pattern
 """.strip()
 
     regex_vals = ", ".join(f"('{p}')" for p in REGEX_PATTERNS)

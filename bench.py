@@ -190,6 +190,19 @@ def main() -> None:
                     "regex_batch",
                     lambda: regex_count(gidx, docs, rx_pats).collect(),
                 )
+                from full_text_index_spark.approx import approx_count
+
+                # one-deletion variants of true substrings + an absent
+                # pattern — the q-gram-filtered approximate-match path
+                ax_pats = sorted(
+                    {p[:3] + p[4:] for p in sub_patterns[:6] if len(p) > 5}
+                ) + ["zzzzqqqqzz"]
+                timed(
+                    "approx_batch",
+                    lambda: approx_count(
+                        gidx, docs, ax_pats, max_edits=1
+                    ).collect(),
+                )
             finally:
                 shutil.rmtree(gram_root, ignore_errors=True)
             timed("dedup_exact", lambda: D.exact_dedup(docs).count())

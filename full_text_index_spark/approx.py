@@ -1,0 +1,227 @@
+"""Approximate (edit-distance) pattern matching over the char k-gram index
+— the agrep capability class, answered from the SAME index the exact
+substring path uses (no new on-disk structure).
+
+Semantics (shared verbatim by the DuckDB oracle): a hit is a 1-based
+start position ``i`` in a document where
+
+    min over L in [m-e, m+e] of  lev(text[i : i+L], P)  <=  e
+
+with ``m = len(P)`` and ``e = max_edits``; slices past the end of the
+document truncate (so the minimum effectively also ranges over the
+shorter tail slice).  Every start position is reported independently —
+both engines count the same set.
+
+Plan (Spark-first, candidate + verify like the exact rarest-gram path):
+
+1. **q-gram count filter** (Jokinen & Ukkonen 1991; the filtration behind
+   agrep/nrgrep): an occurrence of P with <= e edits still contains at
+   least ``T = (m-k+1) - e*k`` of P's k-gram OCCURRENCES, hence at least
+   ``T - dup`` DISTINCT grams of P (dup = duplicated gram slots in P).
+   Candidate docs come from ONE decode of the pattern grams' postings —
+   a `term_locate` + broadcast (pattern, gram) join + count-distinct per
+   (pattern, doc).  Decoded volume tracks the query grams' lists, never
+   the corpus.
+2. **verify** — candidate docs join their text; a vectorized Arrow kernel
+   runs the classic band-free Levenshtein DP simultaneously over EVERY
+   window of the doc (the insert-chain recurrence collapses to a
+   running-min via ``min.accumulate(row - arange) + arange``), emitting
+   the surviving start positions.
+
+Patterns the lemma cannot prune (``T - dup < 1``: too short, or e too
+large for m) fall back to verifying every document — same kernel, no
+index access, semantically identical (the reference's scan-fallback
+posture, fm/fm_index.h:20-22).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.query import term_locate
+from full_text_index_spark.substring import _gram_k
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def approx_positions_np(pattern: str, text: str, e: int) -> np.ndarray:
+    """1-based start positions of approximate occurrences of ``pattern``
+    in ``text`` (edit distance <= e, window semantics above).  One DP over
+    all windows at once: rows are pattern chars, columns are window prefix
+    lengths, vectorized across the n start positions."""
+    m = len(pattern)
+    n = len(text)
+    if n == 0 or m == 0:
+        return np.empty(0, dtype=np.int64)
+    W = m + e
+    arr = _codepoints(text)
+    pat = _codepoints(pattern)
+    idx = np.arange(n)[:, None] + np.arange(W)[None, :]
+    # 0 is a sentinel no real char equals (never emitted by str.encode)
+    chars = np.where(idx < n, arr[np.minimum(idx, n - 1)], np.uint32(0))
+    cols = np.arange(W + 1, dtype=np.int32)
+    prev = np.broadcast_to(cols, (n, W + 1)).astype(np.int32)
+    for r in range(1, m + 1):
+        neq = (chars != pat[r - 1]).astype(np.int32)
+        # delete-pattern-char / substitute terms for j = 1..W
+        body = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + neq)
+        cur = np.empty_like(prev)
+        cur[:, 0] = r
+        cur[:, 1:] = body
+        # insert-chain cur[j] = min(cur[j], cur[j-1]+1) for all j at once:
+        # cur[j] = j + running_min(cur - arange)[j]
+        adj = cur - cols
+        np.minimum.accumulate(adj, axis=1, out=adj)
+        prev = adj + cols
+    # valid prefix lengths per start: [m-e, min(W, avail)], or {avail}
+    # when fewer than m-e chars remain (all oracle slices truncate alike)
+    avail = np.minimum(np.int32(W), (n - np.arange(n)).astype(np.int32))
+    lo = np.maximum(np.minimum(np.int32(m - e), avail), 0)
+    hi = avail
+    j_ok = (cols[None, :] >= lo[:, None]) & (cols[None, :] <= hi[:, None])
+    best = np.where(j_ok, prev, np.int32(2 ** 30)).min(axis=1)
+    return (np.nonzero(best <= e)[0] + 1).astype(np.int64)
+
+
+def _pattern_grams(pattern: str, k: int) -> list[str]:
+    return [pattern[j:j + k] for j in range(len(pattern) - k + 1)]
+
+
+def _distinct_threshold(pattern: str, k: int, e: int) -> int:
+    """Distinct-gram lower bound from the q-gram occurrence lemma."""
+    slots = len(pattern) - k + 1
+    if slots <= 0:
+        return 0
+    t_occ = slots - e * k
+    dup = slots - len(set(_pattern_grams(pattern, k)))
+    return t_occ - dup
+
+
+def _make_verify_kernel(pat_edits: dict[str, int]):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_d, out_c = [], [], []
+            for pattern, doc_id, text in zip(
+                pdf["pattern"], pdf["doc_id"], pdf["text"]
+            ):
+                pos = approx_positions_np(
+                    pattern, text, pat_edits[pattern]
+                )
+                if len(pos):
+                    out_p.append(np.full(len(pos), pattern, dtype=object))
+                    out_d.append(np.full(len(pos), doc_id, dtype=np.int64))
+                    out_c.append(pos)
+            if out_p:
+                yield pd.DataFrame({
+                    "pattern": np.concatenate(out_p),
+                    "doc_id": np.concatenate(out_d),
+                    "cpos": np.concatenate(out_c),
+                })
+    return kernel
+
+
+def approx_locate(
+    index: InvertedIndex | None,
+    docs: DataFrame,
+    patterns: list[str],
+    max_edits: int = 1,
+    *,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(pattern, doc_id, cpos) for every approximate occurrence (edit
+    distance <= max_edits) of each pattern.  Candidates pruned through the
+    k-gram index where the q-gram lemma gives a positive threshold; whole
+    corpus verified otherwise (always, when ``index`` is None)."""
+    spark = docs.sparkSession
+    patterns = list(dict.fromkeys(patterns))
+    e = int(max_edits)
+    if e < 0:
+        raise ValueError("max_edits must be >= 0")
+    k = _gram_k(index) if index is not None else None
+    pruned: dict[str, int] = {}
+    scanned: list[str] = []
+    for p in patterns:
+        thr = _distinct_threshold(p, k, e) if index is not None else 0
+        if thr >= 1:
+            pruned[p] = thr
+        else:
+            scanned.append(p)
+    if stats is not None:
+        stats["scanned"] = list(scanned)
+        stats["pruned"] = dict(pruned)
+    kernel = _make_verify_kernel({p: e for p in patterns})
+    out_schema = "pattern string, doc_id long, cpos long"
+    parts: list[DataFrame] = []
+    if pruned:
+        pairs = sorted({
+            (p, g) for p in pruned for g in set(_pattern_grams(p, k))
+        })
+        pg = spark.createDataFrame(pairs, "pattern string, gram string")
+        thr_df = spark.createDataFrame(
+            sorted(pruned.items()), "pattern string, thr int"
+        )
+        gram_hits = (
+            term_locate(index, sorted({g for _, g in pairs}))
+            .select(F.col("term").alias("gram"), "doc_id")
+        )
+        cand = (
+            gram_hits.join(F.broadcast(pg), "gram")
+            .groupBy("pattern", "doc_id")
+            .agg(F.count_distinct("gram").alias("ng"))
+            .join(F.broadcast(thr_df), "pattern")
+            .where(F.col("ng") >= F.col("thr"))
+            .select("pattern", "doc_id")
+        )
+        if stats is not None:
+            stats["n_candidates"] = cand.count()
+        parts.append(
+            cand.join(docs.select("doc_id", "text"), "doc_id")
+            .mapInPandas(kernel, schema=out_schema)
+        )
+    if scanned:
+        sdf = spark.createDataFrame([(p,) for p in scanned],
+                                    "pattern string")
+        parts.append(
+            docs.select("doc_id", "text")
+            .crossJoin(F.broadcast(sdf))
+            .mapInPandas(kernel, schema=out_schema)
+        )
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def approx_count(
+    index: InvertedIndex | None,
+    docs: DataFrame,
+    patterns: list[str],
+    max_edits: int = 1,
+    *,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(pattern, n_docs_matching, n_positions) per pattern, zero-filled so
+    absent patterns report 0 instead of vanishing."""
+    spark = docs.sparkSession
+    patterns = list(dict.fromkeys(patterns))
+    hits = approx_locate(index, docs, patterns, max_edits, stats=stats)
+    agg = hits.groupBy("pattern").agg(
+        F.count_distinct("doc_id").alias("n_docs_matching"),
+        F.count(F.lit(1)).alias("n_positions"),
+    )
+    pdf = spark.createDataFrame([(p,) for p in patterns], "pattern string")
+    return pdf.join(F.broadcast(agg), "pattern", "left").select(
+        "pattern",
+        F.coalesce("n_docs_matching", F.lit(0)).alias("n_docs_matching"),
+        F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
+    )

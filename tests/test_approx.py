@@ -1,0 +1,153 @@
+"""Approximate (edit-distance) matching: kernel exactness vs brute-force
+DP, index-path == scan-path differential (the q-gram lemma must only
+prune, never lose), zero-fill, and e=0 degenerating to exact search."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from full_text_index_spark.approx import (
+    _distinct_threshold,
+    approx_count,
+    approx_locate,
+    approx_positions_np,
+)
+from full_text_index_spark.build import prepare_corpus
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.substring import build_gram_index
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        nd = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            nd[j] = min(d[j] + 1, nd[j - 1] + 1,
+                        d[j - 1] + (a[i - 1] != b[j - 1]))
+        d = nd
+    return d[len(b)]
+
+
+def _brute_positions(pat: str, text: str, e: int) -> list[int]:
+    m = len(pat)
+    out = []
+    for i in range(len(text)):
+        best = min(
+            _lev(pat, text[i:i + L]) for L in range(max(m - e, 0), m + e + 1)
+        )
+        if best <= e:
+            out.append(i + 1)
+    return out
+
+
+def test_kernel_matches_brute_force_fuzz():
+    rng = random.Random(1234)
+    for _ in range(250):
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 50)))
+        pat = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        e = rng.randint(0, 2)
+        got = approx_positions_np(pat, text, e).tolist()
+        assert got == _brute_positions(pat, text, e), (pat, text, e)
+
+
+def test_threshold_formula():
+    # m=8, k=3, e=1, all grams distinct: (8-3+1) - 3 = 3
+    assert _distinct_threshold("abcdefgh", 3, 1) == 3
+    # too short to prune at e=1
+    assert _distinct_threshold("abc", 3, 1) < 1
+    # duplicated gram slots lower the distinct bound: "aaaa" has 2 slots,
+    # 1 distinct gram -> dup=1, T_occ = 2-3 = -1 -> -2
+    assert _distinct_threshold("aaaa", 3, 1) < 1
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a quick brawn fox jumped over a lazy dig by the river",
+    "wholly unrelated content about spark shuffles and postings lists",
+    "the quvck brown fax is not quite the same animal",
+    "bank rivers and lazy dogs, quick quick slow",
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(TEXTS)),
+        "url": [f"u://{i}" for i in range(len(TEXTS))],
+        "text": TEXTS,
+    })
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path_factory.mktemp("approxidx"))
+    build_gram_index(spark, prepare_corpus(docs), root, k=3, n_segments=2,
+                     block_size=8)
+    return InvertedIndex.open(spark, root), docs
+
+
+PATTERNS = [
+    "quick brown",   # exact in 0; 1-sub variants in 1 and 3
+    "lazy dog",      # exact + "lazy dig"
+    "river bank",    # word order / partial
+    "xyzzyqwert",    # absent even at e
+    "fox",           # below prune threshold at e=1 -> scan fallback
+]
+
+
+def _as_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault((r["pattern"], r["doc_id"]), set()).add(r["cpos"])
+    return out
+
+
+@pytest.mark.parametrize("e", [0, 1, 2])
+def test_index_path_equals_scan_path(setup, e):
+    idx, docs = setup
+    stats = {}
+    via_index = approx_locate(idx, docs, PATTERNS, max_edits=e,
+                              stats=stats).collect()
+    via_scan = approx_locate(None, docs, PATTERNS, max_edits=e).collect()
+    assert _as_sets(via_index) == _as_sets(via_scan)
+    # and both equal brute force
+    want = {}
+    for p in PATTERNS:
+        for i, t in enumerate(TEXTS):
+            pos = _brute_positions(p, t, e)
+            if pos:
+                want[(p, i)] = set(pos)
+    assert _as_sets(via_index) == want
+    # "quick brown": 9 gram slots, all distinct -> threshold 9-3e >= 3,
+    # always pruned here; "fox" (one gram slot) prunes only at e=0
+    assert "quick brown" in stats["pruned"]
+    if e == 0:
+        assert "fox" in stats["pruned"]
+    else:
+        assert "fox" in stats["scanned"]
+
+
+def test_count_zero_fill(setup):
+    idx, docs = setup
+    rows = {r["pattern"]: r for r in
+            approx_count(idx, docs, PATTERNS, max_edits=1).collect()}
+    assert set(rows) == set(PATTERNS)
+    assert rows["xyzzyqwert"]["n_docs_matching"] == 0
+    assert rows["xyzzyqwert"]["n_positions"] == 0
+    assert rows["quick brown"]["n_docs_matching"] >= 2
+
+
+def test_e0_equals_exact_substring(setup):
+    idx, docs = setup
+    got = _as_sets(
+        approx_locate(idx, docs, ["quick", "the "], max_edits=0).collect()
+    )
+    want = {}
+    for p in ["quick", "the "]:
+        for i, t in enumerate(TEXTS):
+            pos = [j + 1 for j in range(len(t) - len(p) + 1)
+                   if t[j:j + len(p)] == p]
+            if pos:
+                want[(p, i)] = set(pos)
+    assert got == want
