@@ -402,6 +402,29 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# proximity workload: co-occurring fixture tokens at tight/loose windows
+# plus an absent term (zero rows on both engines)
+NEAR_QUERIES = [
+    ("join", "hash", 3),
+    ("scan", "merge", 2),
+    ("batch", "stream", 4),
+    ("join", "zzznope", 5),
+]
+
+
+def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/w proximity off the positional postings — no text access."""
+    from full_text_index_spark.query import near_count
+
+    idx = _index_for(spark, sf_dir)
+    return (
+        near_count(idx, NEAR_QUERIES)
+        .select("term_a", "term_b", F.col("window").alias("win"), "doc_id",
+                F.col("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy("term_a", "term_b", "win", "doc_id")
+    )
+
+
 # approximate-match workload (edit distance <= 1): one-deletion variants
 # of true corpus substrings (so hits exist), an absent pattern, and a
 # 3-char pattern the q-gram lemma cannot prune (scan-fallback routing)
@@ -915,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_locate_short": _q_substring_locate_short,
         "display_substring": _q_display_substring,
         "regex_search": _q_regex_search,
+        "near_search": _q_near_search,
         "approx_locate": _q_approx_locate,
         "approx_count": _q_approx_count,
         "pii_redact": _q_pii_redact,
@@ -1284,6 +1308,20 @@ GROUP BY s0.doc_id
         + "\nUNION ALL\n".join(phrase_selects)
         + "\nORDER BY phrase, doc_id"
     )
+
+    near_vals = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in NEAR_QUERIES)
+    sqls["near_search"] = f"""
+WITH {tok_pos_cte},
+probe(term_a, term_b, win) AS (VALUES {near_vals})
+SELECT probe.term_a AS term_a, probe.term_b AS term_b, probe.win AS win,
+       a.doc_id AS doc_id, count(*)::BIGINT AS n_pairs
+FROM probe
+JOIN tok_pos a ON a.term = probe.term_a
+JOIN tok_pos b ON b.term = probe.term_b AND b.doc_id = a.doc_id
+WHERE abs(a.pos - b.pos) <= probe.win
+GROUP BY probe.term_a, probe.term_b, probe.win, a.doc_id
+ORDER BY term_a, term_b, win, doc_id
+""".strip()
 
     sqls["term_positions"] = f"""
 WITH {tok_pos_cte},

@@ -777,6 +777,44 @@ def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     )
 
 
+def near_count(index: InvertedIndex,
+               pairs: list[tuple[str, str, int]]) -> DataFrame:
+    """Proximity (NEAR) search: for each (term_a, term_b, window) query,
+    the docs where the two DISTINCT terms co-occur within ``window`` token
+    positions, with the number of qualifying position pairs — answered
+    entirely inside the positional index (no text access), the classic IR
+    proximity operator the reference's fixed-pattern drivers stop short
+    of (utils/run_queries.c:46-121).
+
+    One batched plan for the whole workload: the union of query terms is
+    decoded ONCE (`term_positions`), both sides of every query join
+    against that single stream via a broadcast of the tiny query table,
+    and the position-pair filter |pa − pb| <= window runs behind an
+    equi-join on (term, doc) — pair fan-out per doc is tf_a·tf_b, bounded
+    by the per-doc term frequencies, never corpus size.
+    Output: (term_a, term_b, window, doc_id, n_pairs)."""
+    spark = index.spark
+    for a, b, _ in pairs:
+        if a == b:
+            raise ValueError(f"NEAR terms must be distinct (got {a!r})")
+    qdf = spark.createDataFrame(
+        sorted(set(pairs)), "term_a string, term_b string, window int"
+    )
+    terms = sorted({t for a, b, _ in pairs for t in (a, b)})
+    tp = term_positions(index, terms)
+    pa = tp.select(F.col("term").alias("term_a"), "doc_id",
+                   F.col("tpos").alias("pa"))
+    pb = tp.select(F.col("term").alias("term_b"), "doc_id",
+                   F.col("tpos").alias("pb"))
+    return (
+        pa.join(F.broadcast(qdf), "term_a")
+        .join(pb, ["term_b", "doc_id"])
+        .where(F.abs(F.col("pa") - F.col("pb")) <= F.col("window"))
+        .groupBy("term_a", "term_b", "window", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def phrase_search(index: InvertedIndex, corpus: DataFrame,
                   phrases: list[str]) -> DataFrame:
     """Exact phrase count/locate, index-accelerated: candidate docs from the

@@ -125,3 +125,40 @@ def test_phrase_plan_is_batched(spark, pos_index, corpus_with_ids):
 def test_positions_require_positional_index(tiny_index):
     with pytest.raises(ValueError):
         term_positions(tiny_index, ["bababa0"])
+
+
+def test_near_count_matches_brute_force(pos_index, corpus_with_ids):
+    from full_text_index_spark.query import near_count
+
+    # head-of-Zipf terms co-occur densely; include a tight window, a loose
+    # one, and an absent partner
+    queries = [("bababa0", "cebaba1", 2), ("bababa0", "dibaba2", 6),
+               ("bababa0", "zzznope", 4)]
+    expected = {}
+    for _, r in corpus_with_ids.iterrows():
+        toks = tokenize_py(r["text"])
+        pos = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i + 1)
+        for a, b, w in queries:
+            n = sum(
+                1
+                for ia in pos.get(a, [])
+                for ib in pos.get(b, [])
+                if abs(ia - ib) <= w
+            )
+            if n:
+                expected[(a, b, w, r["doc_id"])] = n
+    got = {
+        (r["term_a"], r["term_b"], r["window"], r["doc_id"]): r["n_pairs"]
+        for r in near_count(pos_index, queries).collect()
+    }
+    assert got == expected
+    assert any(k[2] == 2 for k in got)   # tight window actually hits
+
+
+def test_near_count_rejects_equal_terms(pos_index):
+    from full_text_index_spark.query import near_count
+
+    with pytest.raises(ValueError):
+        near_count(pos_index, [("x", "x", 3)])
