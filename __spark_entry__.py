@@ -402,6 +402,20 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# wildcard workload: prefix, suffix, infix, match-all-of-a-family and an
+# absent glob (zero-filled)
+WILDCARD_PATTERNS = ["ba*", "*aba2", "ce*1", "*bab*", "zzz*q"]
+
+
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*-glob term queries: dictionary expansion on vocab-sized
+    term_stats + one decode of matched postings for union-df."""
+    from full_text_index_spark.query import wildcard_term_search
+
+    idx = _index_for(spark, sf_dir)
+    return wildcard_term_search(idx, WILDCARD_PATTERNS).orderBy("pattern")
+
+
 # proximity workload: co-occurring fixture tokens at tight/loose windows
 # plus an absent term (zero rows on both engines)
 NEAR_QUERIES = [
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "display_substring": _q_display_substring,
         "regex_search": _q_regex_search,
         "near_search": _q_near_search,
+        "wildcard_search": _q_wildcard,
         "approx_locate": _q_approx_locate,
         "approx_count": _q_approx_count,
         "pii_redact": _q_pii_redact,
@@ -1308,6 +1323,30 @@ GROUP BY s0.doc_id
         + "\nUNION ALL\n".join(phrase_selects)
         + "\nORDER BY phrase, doc_id"
     )
+
+    from full_text_index_spark.query import glob_to_regex
+
+    wc_vals = ", ".join(
+        f"('{p}', '{glob_to_regex(p)}')" for p in WILDCARD_PATTERNS
+    )
+    sqls["wildcard_search"] = f"""
+WITH {TOKS_CTE},
+probe(pattern, rx) AS (VALUES {wc_vals}),
+m AS (
+  SELECT probe.pattern AS pattern, toks.term AS term, toks.doc_id AS doc_id
+  FROM toks JOIN probe ON regexp_matches(toks.term, probe.rx)
+)
+SELECT probe.pattern AS pattern,
+       coalesce(a.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(a.n_occ, 0)::BIGINT AS n_occurrences,
+       coalesce(a.n_docs, 0)::BIGINT AS n_docs_matching
+FROM probe LEFT JOIN (
+  SELECT pattern, count(DISTINCT term) AS n_terms, count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs
+  FROM m GROUP BY pattern
+) a USING (pattern)
+ORDER BY pattern
+""".strip()
 
     near_vals = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in NEAR_QUERIES)
     sqls["near_search"] = f"""

@@ -815,6 +815,85 @@ def near_count(index: InvertedIndex,
     )
 
 
+def glob_to_regex(pattern: str) -> str:
+    """Anchored regex for a ``*``-glob over dictionary terms, built from
+    re.escape'd literal segments — identical semantics in Java regex and
+    RE2, so the DuckDB oracle evaluates the same string."""
+    import re as _re
+
+    return "^" + ".*".join(_re.escape(seg) for seg in pattern.split("*")) + "$"
+
+
+def wildcard_term_search(index: InvertedIndex,
+                         patterns: list[str]) -> DataFrame:
+    """Wildcard (``*``-glob) term queries — the `pre*` / `*suffix` /
+    `a*b` expansion every FTS user reaches for.  Expansion runs against
+    the VOCAB-SIZED term dictionary (term_stats), never the corpus:
+    n_terms and n_occurrences come straight from the dictionary scan;
+    n_docs_matching (df of the UNION of matched terms) needs one decode
+    of exactly the matched terms' postings, distinct-counted per pattern.
+    Matched terms flow postings-ward as a broadcast DataFrame — nothing
+    is collected to the driver, so `a*` with 10^6 expansions plans the
+    same as `rare*` with 3.
+    Output: (pattern, n_terms, n_occurrences, n_docs_matching),
+    zero-filled for patterns matching no term."""
+    spark = index.spark
+    patterns = list(dict.fromkeys(patterns))
+    pdf = spark.createDataFrame(
+        [(p, glob_to_regex(p)) for p in patterns], "pattern string, rx string"
+    )
+    matched = (
+        index.term_stats()
+        .select("term", "cf")
+        .crossJoin(F.broadcast(pdf))
+        .where(F.expr("term rlike rx"))
+        .select("pattern", "term", "cf")
+    )
+    dict_agg = matched.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cf").alias("n_occurrences"),
+    )
+    docs_agg = (
+        index.postings()
+        .join(F.broadcast(matched.select("pattern", "term")), "term")
+        .select("pattern", "doc_blob")
+        .mapInPandas(_decode_doc_ids_kernel, schema="pattern string, doc_id long")
+        .groupBy("pattern")
+        .agg(F.count_distinct("doc_id").alias("n_docs_matching"))
+    )
+    base = spark.createDataFrame([(p,) for p in patterns], "pattern string")
+    return (
+        base.join(F.broadcast(dict_agg), "pattern", "left")
+        .join(F.broadcast(docs_agg), "pattern", "left")
+        .select(
+            "pattern",
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("n_occurrences", F.lit(0)).cast("long")
+            .alias("n_occurrences"),
+            F.coalesce("n_docs_matching", F.lit(0)).cast("long")
+            .alias("n_docs_matching"),
+        )
+    )
+
+
+def _decode_doc_ids_kernel(iterator):
+    """(pattern, doc_blob) -> (pattern, doc_id): gap-decode only the doc
+    stream (no tf/pos work) for union-df counting."""
+    for pdf in iterator:
+        outs = []
+        for row in pdf.itertuples(index=False):
+            docs = decode_gaps(row.doc_blob)
+            outs.append(pd.DataFrame({
+                "pattern": row.pattern,
+                "doc_id": docs,
+            }))
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=["pattern", "doc_id"])
+        )
+
+
 def phrase_search(index: InvertedIndex, corpus: DataFrame,
                   phrases: list[str]) -> DataFrame:
     """Exact phrase count/locate, index-accelerated: candidate docs from the

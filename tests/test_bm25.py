@@ -100,3 +100,33 @@ def test_absent_query_returns_empty(tiny_index):
     spark = tiny_index.spark
     qdf = spark.createDataFrame([(0, ["absentterm"])], "qid long, terms array<string>")
     assert bm25_topk(tiny_index, qdf).count() == 0
+
+
+def test_wildcard_term_search_matches_brute(tiny_corpus_pdf, tiny_index):
+    from full_text_index_spark.query import wildcard_term_search
+
+    import re
+
+    patterns = ["ba*", "*aba2", "*bab*", "zzz*q", "bababa0"]
+    ds = tiny_index.doc_stats().select("url", "doc_id").toPandas()
+    docs = tiny_corpus_pdf.merge(ds, on="url")
+    want = {}
+    for p in patterns:
+        rx = re.compile(
+            "^" + ".*".join(re.escape(s) for s in p.split("*")) + "$"
+        )
+        terms, n_occ, dids = set(), 0, set()
+        for _, r in docs.iterrows():
+            for t in tokenize_py(r["text"]):
+                if rx.match(t):
+                    terms.add(t)
+                    n_occ += 1
+                    dids.add(r["doc_id"])
+        want[p] = (len(terms), n_occ, len(dids))
+    got = {
+        r["pattern"]: (r["n_terms"], r["n_occurrences"], r["n_docs_matching"])
+        for r in wildcard_term_search(tiny_index, patterns).collect()
+    }
+    assert got == want
+    assert want["ba*"][0] >= 1          # prefix family exists
+    assert want["zzz*q"] == (0, 0, 0)   # zero-filled absent glob
