@@ -402,6 +402,25 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# case-insensitive workload: mixed-case forms of corpus substrings (the
+# synthetic corpus is lowercase, so case-variance is exercised on the
+# pattern side; tests cover text-side variance), a short scan-fallback
+# pattern, and an absent one
+CI_PATTERNS = ["ROW SCA", "Scan Merge", "BATCH", "Qq", "ZzQqX"]
+
+
+def _q_substring_locate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive locate off the k-gram index via case-variant gram
+    expansion (<= 2^k variants per cover slot) + text confirm."""
+    from full_text_index_spark.substring import substring_locate_ci
+
+    idx = _gram_index_for(spark, sf_dir)
+    return (
+        substring_locate_ci(idx, _documents(spark, sf_dir), CI_PATTERNS)
+        .orderBy("pattern", "doc_id", "cpos")
+    )
+
+
 # wildcard workload: prefix, suffix, infix, match-all-of-a-family and an
 # absent glob (zero-filled)
 WILDCARD_PATTERNS = ["ba*", "*aba2", "ce*1", "*bab*", "zzz*q"]
@@ -954,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": _q_regex_search,
         "near_search": _q_near_search,
         "wildcard_search": _q_wildcard,
+        "substring_locate_ci": _q_substring_locate_ci,
         "approx_locate": _q_approx_locate,
         "approx_count": _q_approx_count,
         "pii_redact": _q_pii_redact,
@@ -1118,6 +1138,21 @@ FROM probe LEFT JOIN (
   FROM hits GROUP BY pattern
 ) a USING (pattern)
 ORDER BY pattern
+""".strip()
+
+    ci_vals = ", ".join(f"('{p}')" for p in CI_PATTERNS)
+    sqls["substring_locate_ci"] = f"""
+WITH probe(pattern) AS (VALUES {ci_vals}),
+hits AS (
+  SELECT probe.pattern AS pattern, d.doc_id AS doc_id,
+         unnest(list_filter(
+           generate_series(1, greatest(length(d.text) - length(probe.pattern) + 1, 0)),
+           p -> lower(substr(d.text, p, length(probe.pattern))) = lower(probe.pattern)
+         )) AS cpos
+  FROM documents d CROSS JOIN probe
+)
+SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+ORDER BY pattern, doc_id, cpos
 """.strip()
 
     # PII redaction — patterns imported from the engine module so the two

@@ -1014,3 +1014,121 @@ def substring_search(
     if corpus_bytes is not None and corpus_bytes < small_corpus_bytes:
         return scan_substring_locate(docs, patterns)
     return _locate_any(index, patterns)
+
+
+# ---------------------------------------------------------------------------
+# case-insensitive search (case-variant gram expansion)
+# ---------------------------------------------------------------------------
+
+def _case_variants(gram: str) -> list[str]:
+    """All case variants of a k-char gram (<= 2^k, deduped for
+    non-letters) — the index stores text verbatim, so ci search probes
+    every casing a matching window could carry."""
+    from itertools import product
+
+    opts = [(c.lower(), c.upper()) if c.lower() != c.upper() else (c,)
+            for c in gram]
+    return sorted({"".join(t) for t in product(*opts)})
+
+
+def substring_locate_ci(
+    index: InvertedIndex | None,
+    docs: DataFrame,
+    patterns: list[str],
+) -> DataFrame:
+    """Case-insensitive `locate`: every overlapping occurrence where
+    lower(window) == lower(pattern), as (pattern, doc_id, cpos).
+
+    Indexed plan (len >= k): each non-overlapping cover slot of the
+    pattern expands to its <= 2^k case-variant grams; ONE
+    `substring_locate` call finds the exact positions of every variant
+    (decode volume = the cover grams' posting lists, like the exact
+    plan), aligned starts needing a hit in EVERY slot become candidates,
+    and a text join confirms lower(substr) equality.  Patterns shorter
+    than k case-fold the corpus through the same codegen'd scan the
+    exact path uses (positions survive folding — ASCII-stable casing;
+    multi-byte case pairs that change string length are out of scope,
+    like the byte-domain workload notes in workload.py).
+    """
+    spark = docs.sparkSession
+    patterns = list(dict.fromkeys(patterns))
+    k = _gram_k(index) if index is not None else None
+    idx_pats = [p for p in patterns if index is not None and len(p) >= k]
+    scan_pats = [p for p in patterns if p not in idx_pats]
+    parts: list[DataFrame] = []
+    if idx_pats:
+        slot_rows = []
+        meta_rows = []
+        for p in idx_pats:
+            offs = list(range(0, len(p) - k + 1, k))
+            if offs[-1] != len(p) - k:
+                offs.append(len(p) - k)
+            meta_rows.append((p, len(offs), len(p), p.lower()))
+            for o in offs:
+                for v in _case_variants(p[o:o + k]):
+                    slot_rows.append((p, o, v))
+        slots = spark.createDataFrame(
+            slot_rows, "pat string, off int, gram string"
+        )
+        meta = spark.createDataFrame(
+            meta_rows, "pat string, n_slots int, plen int, lpat string"
+        )
+        grams = sorted({g for _, _, g in slot_rows})
+        hits = substring_locate(index, grams).select(
+            F.col("pattern").alias("gram"), "doc_id", "cpos"
+        )
+        cand = (
+            hits.join(F.broadcast(slots), "gram")
+            .select("pat", "doc_id",
+                    (F.col("cpos") - F.col("off")).alias("start"),
+                    "off")
+            .where(F.col("start") >= 1)
+            .groupBy("pat", "doc_id", "start")
+            .agg(F.count_distinct("off").alias("n_hit"))
+            .join(F.broadcast(meta), "pat")
+            .where(F.col("n_hit") == F.col("n_slots"))
+        )
+        parts.append(
+            cand.join(docs.select("doc_id", "text"), "doc_id")
+            .where(F.expr("lower(substr(text, start, plen))") ==
+                   F.col("lpat"))
+            .select(F.col("pat").alias("pattern"), "doc_id",
+                    F.col("start").cast("long").alias("cpos"))
+        )
+    if scan_pats:
+        folded = docs.select(
+            "doc_id", F.lower(F.col("text")).alias("text")
+        )
+        parts.append(
+            scan_substring_locate(folded, sorted({p.lower()
+                                                  for p in scan_pats}))
+            .select(F.col("pattern").alias("lpat"), "doc_id", "cpos")
+            .join(
+                F.broadcast(spark.createDataFrame(
+                    [(p, p.lower()) for p in scan_pats],
+                    "pattern string, lpat string",
+                )),
+                "lpat",
+            )
+            .select("pattern", "doc_id", "cpos")
+        )
+    if not parts:
+        return spark.createDataFrame([], "pattern string, doc_id long, cpos long")
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def substring_count_ci(
+    index: InvertedIndex | None,
+    docs: DataFrame,
+    patterns: list[str],
+) -> DataFrame:
+    """Case-insensitive count with the substring_count output contract."""
+    pdf = docs.sparkSession.createDataFrame(
+        [(p,) for p in dict.fromkeys(patterns)], "pattern string"
+    )
+    return _count_from_locate(
+        substring_locate_ci(index, docs, patterns), pdf
+    )

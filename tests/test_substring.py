@@ -379,3 +379,73 @@ def test_display_substring_short_patterns(gram_setup):
     for r in rows:
         got.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
     assert {k: sorted(v) for k, v in got.items()} == brute(pats)
+
+
+# --- case-insensitive search ------------------------------------------------
+
+CI_TEXTS = [
+    "The Quick Brown fox JUMPED over the lazy DOG",
+    "the quick brown FOX jumped",
+    "QUICK QUICK quick qUiCk",
+    "nothing relevant here at all",
+]
+
+
+@pytest.fixture(scope="module")
+def ci_setup(spark, tmp_path_factory):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(CI_TEXTS)),
+        "url": [f"u://{i}" for i in range(len(CI_TEXTS))],
+        "text": CI_TEXTS,
+    })
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path_factory.mktemp("ciidx"))
+    build_gram_index(spark, prepare_corpus(docs), root, k=3, n_segments=2,
+                     block_size=8)
+    return InvertedIndex.open(spark, root), docs
+
+
+def test_case_variants():
+    from full_text_index_spark.substring import _case_variants
+
+    assert _case_variants("a b") == ["A B", "A b", "a B", "a b"]
+    assert len(_case_variants("abc")) == 8
+    assert _case_variants("1 2") == ["1 2"]
+
+
+def test_substring_locate_ci_matches_brute(ci_setup):
+    from full_text_index_spark.substring import substring_locate_ci
+
+    idx, docs = ci_setup
+    pats = ["quick", "QUICK B", "Fox J", "dog", "zz", "ZZQ"]
+    want = {}
+    for p in pats:
+        lp = p.lower()
+        for i, t in enumerate(CI_TEXTS):
+            lt = t.lower()
+            pos = [j + 1 for j in range(len(lt) - len(lp) + 1)
+                   if lt[j:j + len(lp)] == lp]
+            if pos:
+                want[(p, i)] = sorted(pos)
+    got_idx = {}
+    for r in substring_locate_ci(idx, docs, pats).collect():
+        got_idx.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    got_idx = {k: sorted(v) for k, v in got_idx.items()}
+    assert got_idx == want
+    # scan-only path (no index) agrees
+    got_scan = {}
+    for r in substring_locate_ci(None, docs, pats).collect():
+        got_scan.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    got_scan = {k: sorted(v) for k, v in got_scan.items()}
+    assert got_scan == want
+
+
+def test_substring_count_ci_zero_fill(ci_setup):
+    from full_text_index_spark.substring import substring_count_ci
+
+    idx, docs = ci_setup
+    rows = {r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+            for r in substring_count_ci(idx, docs,
+                                        ["Quick", "ZZQ"]).collect()}
+    assert rows["Quick"] == (3, 6)
+    assert rows["ZZQ"] == (0, 0)
