@@ -402,6 +402,11 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over token bigrams (min cf 5)."""
+    return TS.collocations(_documents(spark, sf_dir), top_n=30, min_cf=5)
+
+
 # case-insensitive workload: mixed-case forms of corpus substrings (the
 # synthetic corpus is lowercase, so case-variance is exercised on the
 # pattern side; tests cover text-side variance), a short scan-fallback
@@ -997,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "boilerplate_strip": _q_boilerplate,
         "ngram_counts": _q_ngram_counts,
+        "collocations": _q_collocations,
         "length_profile": _q_length_profile,
         "repetition_stats": _q_repetition,
         "dedup_embedding_pairs": _q_dedup_embedding,
@@ -1395,6 +1401,33 @@ JOIN tok_pos b ON b.term = probe.term_b AND b.doc_id = a.doc_id
 WHERE abs(a.pos - b.pos) <= probe.win
 GROUP BY probe.term_a, probe.term_b, probe.win, a.doc_id
 ORDER BY term_a, term_b, win, doc_id
+""".strip()
+
+    # PMI collocations: exact BIGINT ratio inside ln (one double divide),
+    # floor-scaled — the repo's cross-engine float discipline
+    sqls["collocations"] = f"""
+WITH {tok_pos_cte},
+toks AS (SELECT doc_id, term FROM tok_pos),
+big0 AS (
+  SELECT a.term || ' ' || b.term AS ngram, a.term AS ta, b.term AS tb
+  FROM tok_pos a JOIN tok_pos b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT term, count(*) AS ucf FROM toks GROUP BY term),
+tot_u AS (SELECT count(*) AS t_u FROM toks),
+tot_b AS (SELECT count(*) AS t_b FROM big0),
+bg AS (
+  SELECT ngram, min(ta) AS ta, min(tb) AS tb, count(*) AS cf
+  FROM big0 GROUP BY ngram HAVING count(*) >= 5
+)
+SELECT bg.ngram AS ngram, bg.cf::BIGINT AS cf,
+       floor(ln((bg.cf * tot_u.t_u * tot_u.t_u)::DOUBLE
+                / (tot_b.t_b * ua.ucf * ub.ucf)) * 10000 + 0.5)::BIGINT
+         AS pmi_i
+FROM bg JOIN uni ua ON ua.term = bg.ta
+        JOIN uni ub ON ub.term = bg.tb
+CROSS JOIN tot_u CROSS JOIN tot_b
+ORDER BY pmi_i DESC, ngram LIMIT 30
 """.strip()
 
     sqls["term_positions"] = f"""

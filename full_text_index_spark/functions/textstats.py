@@ -320,6 +320,51 @@ def lang_id(docs: DataFrame) -> DataFrame:
                          lang_pred_expr().alias("lang_pred"))
 
 
+def collocations(docs: DataFrame, top_n: int = 50,
+                 min_cf: int = 5) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(a,b) = ln( P(ab) / (P(a)P(b)) ) over overlapping token bigrams.
+
+    Cross-engine float discipline: the ln argument is the exact BIGINT
+    ratio cf_ab·T_uni² / (T_bi·cf_a·cf_b) (products fit int64 far beyond
+    bench scale), divided once in double — Spark and DuckDB then differ
+    by <= 1 ulp of ln, absorbed by the floor(x·10^4 + .5) scaling; ties
+    broken by ngram so the top_n cut is deterministic.
+    Output: (ngram, cf, pmi_i), pmi_i = floor(pmi·10^4 + 0.5)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ucf"))
+    t_uni = toks.agg(F.count(F.lit(1)).alias("t_u"))
+    big = docs.select(
+        F.explode(_gram_windows(tokens_col(F.col("text")), 2)).alias("ngram")
+    )
+    t_bi = big.agg(F.count(F.lit(1)).alias("t_b"))
+    bg = (
+        big.groupBy("ngram").agg(F.count(F.lit(1)).alias("cf"))
+        .where(F.col("cf") >= min_cf)
+        .withColumn("ta", F.split("ngram", " ")[0])
+        .withColumn("tb", F.split("ngram", " ")[1])
+    )
+    num = (F.col("cf") * F.col("t_u") * F.col("t_u")).cast("double")
+    den = (F.col("t_b") * F.col("a_cf") * F.col("b_cf")).cast("double")
+    pmi_i = F.floor(F.log(num / den) * 10_000 + F.lit(0.5)).cast("long")
+    return (
+        # vocab-scale joins: NOT force-broadcast (the dictionary grows
+        # with the corpus) — AQE broadcasts when it actually fits
+        bg.join(uni.withColumnRenamed("ucf", "a_cf"),
+                bg.ta == F.col("term")).drop("term")
+        .join(uni.withColumnRenamed("ucf", "b_cf")
+              .withColumnRenamed("term", "term_b"),
+              F.col("tb") == F.col("term_b")).drop("term_b")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select("ngram", "cf", pmi_i.alias("pmi_i"))
+        .orderBy(F.desc("pmi_i"), "ngram")
+        .limit(top_n)
+    )
+
+
 # PII patterns in the Java-regex/RE2 COMMON subset (no lookaround, no
 # ambiguous alternation — leftmost-first and leftmost-longest agree), so
 # the DuckDB oracle evaluates them identically.  Redaction order matters:

@@ -400,3 +400,30 @@ def test_pii_redact_no_shuffle(docs):
         TS.pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_collocations_matches_brute(docs):
+    import math
+
+    rows = docs.select("doc_id", "text").collect()
+    uni, big = {}, {}
+    t_u = t_b = 0
+    for r in rows:
+        toks = tokenize_py(r.text)
+        t_u += len(toks)
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            t_b += 1
+    want = []
+    for (a, b), cf in big.items():
+        if cf < 2:
+            continue
+        pmi = math.log(cf * t_u * t_u / (t_b * uni[a] * uni[b]))
+        want.append((f"{a} {b}", cf, math.floor(pmi * 10_000 + 0.5)))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    got = [(r.ngram, r.cf, r.pmi_i)
+           for r in TS.collocations(docs, top_n=10, min_cf=2).collect()]
+    assert got == want[:10]
+    assert len(got) >= 5
