@@ -402,6 +402,26 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_N_QUERY_DOCS = 3
+MLT_K = 10
+MLT_N_TERMS = 5
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval: first 3 docs by id as queries, their
+    top-5 tf·idf terms BM25-ranked over the index, self excluded."""
+    from full_text_index_spark.query import more_like_this
+
+    idx = _index_for(spark, sf_dir)
+    qdocs = _documents(spark, sf_dir).orderBy("doc_id").limit(MLT_N_QUERY_DOCS)
+    return (
+        more_like_this(idx, qdocs, k=MLT_K, n_query_terms=MLT_N_TERMS)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+                _score_i(F.col("score")).alias("score_i"))
+        .orderBy("qid", "rank")
+    )
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 PMI collocations over token bigrams (min cf 5)."""
     return TS.collocations(_documents(spark, sf_dir), top_n=30, min_cf=5)
@@ -1003,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _q_boilerplate,
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
+        "more_like_this": _q_more_like_this,
         "length_profile": _q_length_profile,
         "repetition_stats": _q_repetition,
         "dedup_embedding_pairs": _q_dedup_embedding,
@@ -1038,6 +1059,54 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["bm25_topk"] = _bm25_sql()
+
+    # more-like-this: derive each query doc's top-5 tf·idf terms with the
+    # SAME idf formula and (round(w,6) desc, term) tie-break as the
+    # engine, then the bm25 contrib/rank pipeline excluding the self doc
+    sqls["more_like_this"] = f"""
+{BM25_BASE},
+qdocs AS (SELECT doc_id AS qid FROM documents ORDER BY doc_id LIMIT {MLT_N_QUERY_DOCS}),
+qtf AS (
+  SELECT toks.doc_id AS qid, toks.term, count(*) AS tf
+  FROM toks JOIN qdocs ON qdocs.qid = toks.doc_id
+  GROUP BY toks.doc_id, toks.term
+),
+qw AS (
+  SELECT qid, qtf.term,
+         qtf.tf * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) AS w
+  FROM qtf JOIN dft ON dft.term = qtf.term CROSS JOIN stats s
+),
+q AS (
+  SELECT qid, term FROM (
+    SELECT qid, term, row_number() OVER (
+      PARTITION BY qid ORDER BY round(w, 6) DESC, term ASC
+    ) AS rn FROM qw
+  ) WHERE rn <= {MLT_N_TERMS}
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)) AS c
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scored WHERE doc_id <> qid
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_i
+FROM ranked WHERE rank <= {MLT_K}
+ORDER BY qid, rank
+""".strip()
 
     sqls["term_count"] = f"""
 WITH {TOKS_CTE},

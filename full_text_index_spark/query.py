@@ -815,6 +815,66 @@ def near_count(index: InvertedIndex,
     )
 
 
+def more_like_this(
+    index: InvertedIndex,
+    query_docs: DataFrame,
+    k: int = 10,
+    n_query_terms: int = 5,
+) -> DataFrame:
+    """Similar-document retrieval ("more like this"): the query is a
+    DOCUMENT — its top ``n_query_terms`` terms by tf·idf (idf from the
+    index dictionary, ties broken by term) form a BM25 query, and the
+    source doc itself is excluded from the ranking.
+
+    Fully composed from existing primitives: the query docs' term
+    weights come from tokenizing ONLY those docs (tiny), the retrieval
+    is one `bm25_topk` batch at k+1, and self-exclusion renumbers ranks
+    behind a window — identical to "score everything, drop self, take
+    top-k" because dropping at most one row from a top-(k+1) list leaves
+    the top-k of the rest.
+    Output: (qid, rank, doc_id, score) like bm25_topk."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    qtf = (
+        query_docs.select(
+            F.col("doc_id").alias("qid"),
+            F.explode(tokens_col(F.col("text"))).alias("term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = (F.col("tf") * F.col("idf")).alias("w")
+    # broadcast the TINY query-doc side; the dictionary is vocab-scale
+    top_terms = (
+        index.term_stats().select("term", "idf")
+        .join(F.broadcast(qtf), "term")
+        .select("qid", "term", w)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid")
+                .orderBy(F.desc(F.round("w", 6)), F.asc("term"))
+            ),
+        )
+        .where(F.col("rn") <= n_query_terms)
+    )
+    queries = top_terms.groupBy("qid").agg(
+        F.sort_array(F.collect_list("term")).alias("terms")
+    )
+    hits = bm25_topk(index, queries, k=k + 1)
+    return (
+        hits.where(F.col("doc_id") != F.col("qid"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("rank"))
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
 def glob_to_regex(pattern: str) -> str:
     """Anchored regex for a ``*``-glob over dictionary terms, built from
     re.escape'd literal segments — identical semantics in Java regex and

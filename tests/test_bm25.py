@@ -130,3 +130,32 @@ def test_wildcard_term_search_matches_brute(tiny_corpus_pdf, tiny_index):
     assert got == want
     assert want["ba*"][0] >= 1          # prefix family exists
     assert want["zzz*q"] == (0, 0, 0)   # zero-filled absent glob
+
+
+def test_more_like_this_excludes_self_and_ranks_dups_first(spark, tmp_path_factory):
+    from full_text_index_spark.build import build_index, prepare_corpus
+    from full_text_index_spark.index import InvertedIndex
+    from full_text_index_spark.query import more_like_this
+
+    rows = [
+        (1, "u://1", "alpha beta gamma delta epsilon zeta"),
+        (2, "u://2", "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "u://3", "totally different words entirely here"),
+        (4, "u://4", "alpha beta unrelated tail words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    root = str(tmp_path_factory.mktemp("mltidx"))
+    build_index(spark, prepare_corpus(docs), root, n_segments=2, block_size=8)
+    idx = InvertedIndex.open(spark, root)
+    from pyspark.sql import functions as F
+
+    out = more_like_this(idx, docs.where(F.col("doc_id").isin([1, 3])),
+                         k=3, n_query_terms=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    for qid, hits in by_q.items():
+        hits.sort()
+        assert all(d != qid for _, d in hits)            # self excluded
+        assert [r for r, _ in hits] == list(range(1, len(hits) + 1))
+    assert by_q[1][0][1] == 2                            # near-dup first
