@@ -693,6 +693,13 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup pairs: quote/superset cases."""
+    return D.containment_pairs(
+        _documents(spark, sf_dir), k=D.JACCARD_SHINGLE, min_containment=0.3
+    ).orderBy("src_doc", "dst_doc")
+
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).where(F.col("doc_id") % 199 == 0)
     return D.minhash_signatures(docs).orderBy("doc_id", "j")
@@ -1014,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_match": _q_sql_match,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_containment": _q_containment,
         "dedup_minhash_signatures": _q_minhash_sig,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
@@ -1643,6 +1651,38 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE floor(i.inter * 10000.0 / (sa.n_sh + sb.n_sh - i.inter)) >= 1000
 ORDER BY doc_a, doc_b
+""".strip()
+
+    sqls["dedup_containment"] = f"""
+WITH {_shingles_cte(jk)},
+capped AS (
+  SELECT shingle FROM shingles GROUP BY shingle
+  HAVING count(*) <= {D.JACCARD_MAX_DF}
+),
+sh_c AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_c GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh_c a JOIN sh_c b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+both_sz AS (
+  SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+directed AS (
+  SELECT doc_a AS src_doc, doc_b AS dst_doc, inter, n_a AS src_sz FROM both_sz
+  UNION ALL
+  SELECT doc_b AS src_doc, doc_a AS dst_doc, inter, n_b AS src_sz FROM both_sz
+)
+SELECT src_doc, dst_doc, inter, src_sz,
+       CAST(floor(inter * 10000.0 / src_sz) AS BIGINT) AS containment_i
+FROM directed
+WHERE floor(inter * 10000.0 / src_sz) >= 3000
+ORDER BY src_doc, dst_doc
 """.strip()
 
     sqls["dedup_minhash_signatures"] = f"""

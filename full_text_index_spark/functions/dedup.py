@@ -109,6 +109,59 @@ def ngram_jaccard_pairs(
     ).select("doc_a", "doc_b", "inter", "union_sz", "jaccard_i")
 
 
+def containment_pairs(
+    docs: DataFrame, k: int = JACCARD_SHINGLE, min_containment: float = 0.5,
+    max_shingle_df: int = JACCARD_MAX_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(src in dst) =
+    |S(src) ∩ S(dst)| / |S(src)| over k-token shingle sets — catches the
+    quote/superset/boilerplate-wrapper cases a symmetric Jaccard misses
+    (a page embedding a whole smaller doc has low Jaccard but containment
+    ~1 for the smaller doc).  Same shared-shingle blocking and Zipf-head
+    df cap as `ngram_jaccard_pairs` (fan-out bounded by df_cap² per
+    shingle; the measure is exact containment of the CAPPED sets,
+    mirrored verbatim in the oracle).  One undirected intersection join
+    feeds BOTH directions.
+    Output: (src_doc, dst_doc, inter, src_sz, containment_i)."""
+    sh_all = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(k))).alias("shingle")
+    )
+    df_counts = sh_all.groupBy("shingle").agg(F.count("*").alias("sh_df"))
+    sh = (
+        sh_all.join(df_counts.where(F.col("sh_df") <= max_shingle_df),
+                    "shingle")
+        .select("doc_id", "shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+    )
+    directed = inter.select(
+        F.col("doc_a").alias("src_doc"), F.col("doc_b").alias("dst_doc"),
+        "inter", F.col("n_a").alias("src_sz"),
+    ).unionByName(inter.select(
+        F.col("doc_b").alias("src_doc"), F.col("doc_a").alias("dst_doc"),
+        "inter", F.col("n_b").alias("src_sz"),
+    ))
+    out = directed.withColumn(
+        "containment_i",
+        F.floor(F.col("inter") * 10_000 / F.col("src_sz")).cast("long"),
+    )
+    return out.where(
+        F.col("containment_i") >= int(min_containment * 10_000)
+    ).select("src_doc", "dst_doc", "inter", "src_sz", "containment_i")
+
+
 def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
                        shingle_k: int = MINHASH_SHINGLE) -> DataFrame:
     """(doc_id, j, minhash): n_funcs min-wise hashes over shingle hashes,

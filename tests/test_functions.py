@@ -427,3 +427,23 @@ def test_collocations_matches_brute(docs):
            for r in TS.collocations(docs, top_n=10, min_cf=2).collect()]
     assert got == want[:10]
     assert len(got) >= 5
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    small = "one two three four five six seven"
+    big = small + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text with other words only")],
+        "doc_id long, text string",
+    )
+    cont = {(r.src_doc, r.dst_doc): r.containment_i
+            for r in D.containment_pairs(docs, k=3,
+                                         min_containment=0.5).collect()}
+    # the small doc is fully contained in the big one...
+    assert cont[(1, 2)] == 10_000
+    # ...but not vice versa, and Jaccard at the same bar misses the pair
+    assert (2, 1) not in cont
+    jac = {(r.doc_a, r.doc_b)
+           for r in D.ngram_jaccard_pairs(docs, k=3,
+                                          min_jaccard=0.5).collect()}
+    assert (1, 2) not in jac
