@@ -100,6 +100,46 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return idx
 
 
+# tombstoned variants (deletes.py): same builds in separate cache roots —
+# the shared indexes above must stay tombstone-free — with the
+# deterministic delete set doc_id % 7 == 3 applied (idempotent merge)
+_DEL_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _del_index_for(spark: SparkSession, sf_dir: str,
+                   grams: bool = False) -> InvertedIndex:
+    from full_text_index_spark.deletes import delete_docs
+
+    key = os.path.normpath(sf_dir) + ("_grams_del" if grams else "_del")
+    if key in _DEL_CACHE:
+        return _DEL_CACHE[key]
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".index_cache",
+        (os.path.basename(os.path.normpath(sf_dir)) or "default")
+        + ("_grams_del" if grams else "_del"),
+    )
+    if not os.path.exists(os.path.join(cache_root, "meta.json")):
+        docs = _documents(spark, sf_dir).withColumn(
+            "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        )
+        if grams:
+            build_gram_index(spark, docs, cache_root, k=3,
+                             n_segments=N_SEGMENTS, block_size=64)
+        else:
+            build_index(spark, docs, cache_root, n_segments=N_SEGMENTS,
+                        block_size=64, positions=True)
+    idx = InvertedIndex.open(spark, cache_root)
+    doomed = (
+        _documents(spark, sf_dir)
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    delete_docs(idx, doomed)
+    _DEL_CACHE[key] = idx
+    return idx
+
+
 _GRAM_CACHE: dict[str, InvertedIndex] = {}
 
 
@@ -158,7 +198,9 @@ def _bm25_values_sql() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(k: int = 10) -> str:
+def _bm25_sql(k: int = 10, ranked_where: str = "") -> str:
+    """ranked_where filters the SCORED docs (e.g. tombstone exclusion);
+    collection stats upstream stay physical — mirroring deletes.py."""
     return f"""
 {BM25_BASE},
 q(qid, term) AS (VALUES {_bm25_values_sql()}),
@@ -179,7 +221,7 @@ ranked AS (
          row_number() OVER (
            PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
          ) AS rank
-  FROM scored
+  FROM scored {ranked_where}
 )
 SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_i
@@ -399,6 +441,29 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         regex_count(idx, _documents(spark, sf_dir), REGEX_PATTERNS)
         .orderBy("pattern")
+    )
+
+
+def _q_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a tombstoned index (doc_id % 7 == 3 deleted): ranked
+    results exclude deleted docs while idf/avgdl stay physical until
+    compaction (Lucene deferred-merge semantics, deletes.py)."""
+    idx = _del_index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid long, terms array<string>")
+    out = bm25_topk(idx, qdf, k=10, use_blockmax=True)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+        _score_i(F.col("score")).alias("score_i"),
+    ).orderBy("qid", "rank")
+
+
+def _q_delete_substring_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-substring locate over a tombstoned gram index."""
+    idx = _del_index_for(spark, sf_dir, grams=True)
+    return (
+        substring_locate(idx, SUBSTR_LOCATE_PATTERNS)
+        .select("pattern", "doc_id", F.col("cpos").cast("long").alias("cpos"))
+        .orderBy("pattern", "doc_id", "cpos")
     )
 
 
@@ -1032,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "more_like_this": _q_more_like_this,
+        "delete_bm25": _q_delete_bm25,
+        "delete_substring_locate": _q_delete_substring_locate,
         "length_profile": _q_length_profile,
         "repetition_stats": _q_repetition,
         "dedup_embedding_pairs": _q_dedup_embedding,
@@ -1067,6 +1134,9 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["bm25_topk"] = _bm25_sql()
+    sqls["delete_bm25"] = _bm25_sql(
+        ranked_where="WHERE doc_id % 7 <> 3"
+    )
 
     # more-like-this: derive each query doc's top-5 tf·idf terms with the
     # SAME idf formula and (round(w,6) desc, term) tie-break as the
@@ -1332,6 +1402,13 @@ ORDER BY pattern
     sqls["substring_locate"] = f"""
 WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
 SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+ORDER BY pattern, doc_id, cpos
+""".strip()
+
+    sqls["delete_substring_locate"] = f"""
+WITH {_substr_hits_cte(SUBSTR_LOCATE_PATTERNS)}
+SELECT pattern, doc_id, cpos::BIGINT AS cpos FROM hits
+WHERE doc_id % 7 <> 3
 ORDER BY pattern, doc_id, cpos
 """.strip()
 

@@ -136,9 +136,14 @@ def bm25_topk(
     if not use_blockmax:
         # exact path: vectorized decode → JVM join + agg + window (no Python
         # scoring); postings are self-contained (doclen stream packed in),
-        # so no doc_stats join — nothing big ever shuffles.
+        # so no doc_stats join — nothing big ever shuffles.  Tombstoned
+        # docs are anti-joined out pre-scoring (fully distributed).
+        from full_text_index_spark.deletes import mask_deleted
+
         terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-        decoded = _decode_postings(_matched_postings(index, terms, qterms))
+        decoded = mask_deleted(
+            index, _decode_postings(_matched_postings(index, terms, qterms))
+        )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
             .withColumn(
@@ -208,9 +213,11 @@ def bm25_topk(
         ).alias("block_max_impact"),
         index.impact_bound(F.col("max_tf"), F.col("min_dl")).alias("max_impact"),
     )
+    from full_text_index_spark.deletes import deleted_ids
+
     kernel = _make_maxscore_kernel(
         k1=k1, b=b, avgdl=avgdl, k=k, sets_pd=sets_pd,
-        prune_threshold=prune_threshold,
+        prune_threshold=prune_threshold, deleted=deleted_ids(index),
     )
     # task granularity tracks CLUSTER PARALLELISM, not segment count: each
     # kernel task takes several whole segments (docs live in exactly one
@@ -299,7 +306,8 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
 
 def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                           sets_pd: pd.DataFrame,
-                          prune_threshold: int = 4096):
+                          prune_threshold: int = 4096,
+                          deleted: np.ndarray | None = None):
     """Per-segment scorer: bulk term-at-a-time for ordinary queries,
     block-max MaxScore pruning for heavy ones.
 
@@ -393,9 +401,20 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                 / (tfs_all + norm_of(dls_all))
             )
             rid_arr = left["rid"].to_numpy()
+            # tombstone mask at the decode choke point: deleted docs never
+            # enter the cache, so none of bulk/dense/MaxScore (whose block
+            # lookups only probe already-cached candidates) can emit them
+            live_all = (
+                ~np.isin(docs_all, deleted) if deleted is not None else None
+            )
             for i in range(len(rows)):
                 s, e = int(v_starts[i]), int(v_ends[i])
-                row_cache[int(rid_arr[i])] = (docs_all[s:e], contrib_all[s:e])
+                d_, c_ = docs_all[s:e], contrib_all[s:e]
+                if live_all is not None:
+                    m = live_all[s:e]
+                    if not m.all():
+                        d_, c_ = d_[m], c_[m]
+                row_cache[int(rid_arr[i])] = (d_, c_)
 
         def full_decode(row) -> tuple[np.ndarray, np.ndarray]:
             hit = row_cache.get(row.rid)
@@ -407,6 +426,10 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
                     idf_by_term[row.term] * (k1 + 1.0) * tfs
                     / (tfs + norm_of(dls))
                 )
+                if deleted is not None and len(docs):
+                    m = ~np.isin(docs, deleted)
+                    if not m.all():
+                        docs, contrib = docs[m], contrib[m]
                 hit = (docs, contrib)
                 row_cache[row.rid] = hit
             return hit
@@ -705,8 +728,13 @@ def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
                 else pd.DataFrame(columns=["term", "doc_id", "tpos"])
             )
 
-    return matched.select("term", "doc_blob", "tf_blob", "pos_blob").mapInPandas(
-        decode, schema="term string, doc_id long, tpos long"
+    from full_text_index_spark.deletes import mask_deleted
+
+    return mask_deleted(
+        index,
+        matched.select("term", "doc_blob", "tf_blob", "pos_blob").mapInPandas(
+            decode, schema="term string, doc_id long, tpos long"
+        ),
     )
 
 
@@ -765,8 +793,12 @@ def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     n_terms = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
     # same IN-list → broadcast-semi-join cutover as BM25 (VERDICT r02 #4):
     # a 5000-term boolean query must plan in constant driver time
+    from full_text_index_spark.deletes import mask_deleted
+
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-    decoded = _decode_postings(_matched_postings(index, terms, qterms))
+    decoded = mask_deleted(
+        index, _decode_postings(_matched_postings(index, terms, qterms))
+    )
     return (
         decoded.join(qterms, "term")
         .groupBy("qid", "doc_id")
@@ -913,11 +945,17 @@ def wildcard_term_search(index: InvertedIndex,
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("cf").alias("n_occurrences"),
     )
+    from full_text_index_spark.deletes import mask_deleted
+
     docs_agg = (
-        index.postings()
-        .join(F.broadcast(matched.select("pattern", "term")), "term")
-        .select("pattern", "doc_blob")
-        .mapInPandas(_decode_doc_ids_kernel, schema="pattern string, doc_id long")
+        mask_deleted(
+            index,
+            index.postings()
+            .join(F.broadcast(matched.select("pattern", "term")), "term")
+            .select("pattern", "doc_blob")
+            .mapInPandas(_decode_doc_ids_kernel,
+                         schema="pattern string, doc_id long"),
+        )
         .groupBy("pattern")
         .agg(F.count_distinct("doc_id").alias("n_docs_matching"))
     )
@@ -1010,9 +1048,14 @@ def term_count(index: InvertedIndex, terms: list[str]) -> DataFrame:
 
 def term_locate(index: InvertedIndex, terms: list[str]) -> DataFrame:
     """`locate` analog (reference: utils/interface.h:66): every (doc_id, tf)
-    occurrence record of each term, decoded from the compressed postings."""
+    occurrence record of each term, decoded from the compressed postings;
+    tombstoned docs excluded (deletes.py)."""
+    from full_text_index_spark.deletes import mask_deleted
+
     matched = _matched_postings(index, list(terms))
-    return _decode_postings(matched).select("term", "doc_id", "tf")
+    return mask_deleted(
+        index, _decode_postings(matched).select("term", "doc_id", "tf")
+    )
 
 
 def extract(corpus: DataFrame, intervals: DataFrame) -> DataFrame:

@@ -735,7 +735,11 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
     out = final_parts[0]
     for part in final_parts[1:]:
         out = out.unionByName(part)
-    return out
+    # tombstoned docs excluded (deletes.py); the all-windows plan inherits
+    # its mask through term_positions
+    from full_text_index_spark.deletes import mask_deleted
+
+    return mask_deleted(index, out)
 
 
 def _count_from_locate(located: DataFrame, patterns_df: DataFrame) -> DataFrame:
@@ -866,7 +870,9 @@ def substring_locate_short(index: InvertedIndex,
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
-    return out
+    from full_text_index_spark.deletes import mask_deleted
+
+    return mask_deleted(index, out)
 
 
 def _locate_any(index: InvertedIndex, patterns: list[str]) -> DataFrame:

@@ -1,0 +1,125 @@
+"""Tombstone deletes: every doc-level result excludes deleted docs
+(both BM25 kernel paths, locate/positions, substring plans), deletes are
+idempotent, dictionary stats stay physical until compact() rebuilds."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from full_text_index_spark.build import build_index, prepare_corpus
+from full_text_index_spark.deletes import (
+    compact,
+    delete_docs,
+    deleted_ids,
+    mask_deleted,
+)
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.query import bm25_topk, term_locate, term_positions
+from full_text_index_spark.substring import build_gram_index, substring_locate
+
+
+TEXTS = [
+    "alpha beta gamma shared words here",
+    "alpha beta gamma shared words there",
+    "alpha beta gamma shared words everywhere",
+    "unrelated content entirely different",
+    "alpha beta gamma shared words again",
+]
+
+
+@pytest.fixture()
+def del_setup(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(TEXTS)),
+        "url": [f"u://{i}" for i in range(len(TEXTS))],
+        "text": TEXTS,
+    })
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, prepare_corpus(docs), root, n_segments=2,
+                block_size=4, positions=True)
+    return InvertedIndex.open(spark, root), docs
+
+
+def _bm25_docs(idx, spark, **kw):
+    q = spark.createDataFrame([(0, ["alpha", "shared"])],
+                              "qid long, terms array<string>")
+    return sorted(r["doc_id"] for r in bm25_topk(idx, q, k=10, **kw).collect())
+
+
+def test_deletes_excluded_everywhere(del_setup, spark):
+    idx, docs = del_setup
+    assert _bm25_docs(idx, spark) == [0, 1, 2, 4]
+    n = delete_docs(idx, [1, 4])
+    assert n == 2
+    # both BM25 paths (MaxScore kernel closure mask + exact anti-join)
+    assert _bm25_docs(idx, spark) == [0, 2]
+    assert _bm25_docs(idx, spark, use_blockmax=False) == [0, 2]
+    # locate / positions ("alpha" lives in docs 0,1,2,4; 1 and 4 deleted)
+    got = sorted(r["doc_id"] for r in term_locate(idx, ["alpha"]).collect())
+    assert got == [0, 2]
+    assert sorted({r["doc_id"] for r in
+                   term_positions(idx, ["shared"]).collect()}) == [0, 2]
+
+
+def test_delete_idempotent_and_incremental(del_setup):
+    idx, _ = del_setup
+    assert delete_docs(idx, [1]) == 1
+    assert delete_docs(idx, [1]) == 1          # replay: no growth
+    assert delete_docs(idx, [1, 4]) == 2       # merge with existing
+    assert deleted_ids(idx).tolist() == [1, 4]
+
+
+def test_mask_deleted_noop_without_tombstones(del_setup, spark):
+    idx, _ = del_setup
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    assert mask_deleted(idx, df) is df          # identical plan object
+
+
+def test_substring_plans_exclude_deleted(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(TEXTS)),
+        "url": [f"u://{i}" for i in range(len(TEXTS))],
+        "text": TEXTS,
+    })
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path / "gidx")
+    build_gram_index(spark, prepare_corpus(docs), root, k=3, n_segments=2,
+                     block_size=8)
+    gidx = InvertedIndex.open(spark, root)
+    delete_docs(gidx, [0, 2])
+    for plan in ("rarest", "alljoin"):
+        got = sorted({r["doc_id"] for r in
+                      substring_locate(gidx, ["shared wo"],
+                                       plan=plan).collect()})
+        assert got == [1, 4], plan
+    # short (prefix-gram + tails) plan
+    from full_text_index_spark.substring import substring_locate_short
+    got = sorted({r["doc_id"] for r in
+                  substring_locate_short(gidx, ["al"]).collect()})
+    assert got == [1, 4]
+
+
+def test_compact_reclaims_and_refreshes_stats(del_setup, spark, tmp_path):
+    idx, docs = del_setup
+    delete_docs(idx, [0, 1, 2])
+    prepared = prepare_corpus(docs)
+    new_root = str(tmp_path / "compacted")
+    new_idx = compact(idx, prepared, new_root)
+    assert deleted_ids(new_idx) is None
+    assert new_idx.n_docs == 2                  # stats refreshed
+    assert _bm25_docs(new_idx, spark) == [4]
+    # dictionary genuinely shrank: "there"/"here" only lived in deleted docs
+    terms = {r["term"] for r in new_idx.term_stats().select("term").collect()}
+    assert "there" not in terms
+
+
+def test_tombstone_cap(del_setup, monkeypatch):
+    idx, _ = del_setup
+    import full_text_index_spark.deletes as DEL
+
+    monkeypatch.setattr(DEL, "MAX_TOMBSTONES", 3)
+    with pytest.raises(ValueError, match="MAX_TOMBSTONES"):
+        delete_docs(idx, [0, 1, 2, 4])
