@@ -629,6 +629,60 @@ def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_and(idx, qdf).orderBy("qid", "doc_id")
 
 
+COLLAPSE_PER_GROUP = 2
+SIGTERMS_K = 10
+PASSAGE_WIDTH = 12
+
+
+def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed BM25: at most COLLAPSE_PER_GROUP docs per
+    (query, source), survivors re-ranked (Lucene/ES field collapsing)."""
+    from full_text_index_spark.query import collapse_topk
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid long, terms array<string>")
+    groups = _documents(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("group")
+    )
+    return (
+        collapse_topk(idx, qdf, groups, k=10, per_group=COLLAPSE_PER_GROUP)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+                "group", _score_i(F.col("score")).alias("score_i"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms facet over each query's conjunctive result set
+    (JLH score vs the corpus background from the index dictionary)."""
+    from full_text_index_spark.query import significant_terms
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_QUERIES, "qid long, terms array<string>")
+    return (
+        significant_terms(idx, _documents(spark, sf_dir), qdf, k=SIGTERMS_K)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "term",
+                "fg_df", "df", _score_i(F.col("score")).alias("score_i"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best highlight window per (query, conjunctive-match doc) from the
+    positional postings — no text access."""
+    from full_text_index_spark.query import best_passage
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_QUERIES, "qid long, terms array<string>")
+    return (
+        best_passage(idx, qdf, width=PASSAGE_WIDTH)
+        .select("qid", "doc_id", F.col("start").cast("long").alias("start"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_occ").cast("long").alias("n_occ"))
+        .orderBy("qid", "doc_id")
+    )
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return phrase_search(idx, _documents(spark, sf_dir), PHRASES).orderBy(
@@ -1075,6 +1129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_count": _q_approx_count,
         "pii_redact": _q_pii_redact,
         "boolean_and": _q_boolean_and,
+        "collapse_topk": _q_collapse_topk,
+        "significant_terms": _q_significant_terms,
+        "best_passage": _q_best_passage,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
         "term_positions": _q_term_positions,
@@ -1555,6 +1612,137 @@ JOIN tok_pos b ON b.term = probe.term_b AND b.doc_id = a.doc_id
 WHERE abs(a.pos - b.pos) <= probe.win
 GROUP BY probe.term_a, probe.term_b, probe.win, a.doc_id
 ORDER BY term_a, term_b, win, doc_id
+""".strip()
+
+    # field-collapsed BM25: same scored set as bm25_topk, then per-(qid,
+    # source) survivor window + overall re-rank — both engines share the
+    # (round(score,6) desc, doc_id asc) tie policy
+    sqls["collapse_topk"] = f"""
+{BM25_BASE},
+q(qid, term) AS (VALUES {_bm25_values_sql()}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)) AS c
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+g AS (
+  SELECT s.qid, s.doc_id, s.score, d.source AS grp,
+         row_number() OVER (
+           PARTITION BY s.qid, d.source
+           ORDER BY round(s.score, 6) DESC, s.doc_id ASC
+         ) AS gr
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, grp, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM g WHERE gr <= {COLLAPSE_PER_GROUP}
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id, grp AS "group",
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_i
+FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""".strip()
+
+    # significant-terms facet (JLH): foreground df over the conjunctive
+    # result set, background df over the corpus; query terms excluded.
+    # Float discipline: both engines evaluate ((fg%−bg%)·fg%)/bg% on the
+    # same exact-integer inputs in the same op order, then round(·,6)
+    # ranks and floor-scale — identical doubles, identical hashes
+    sqls["significant_terms"] = f"""
+WITH {TOKS_CTE},
+dtf AS (SELECT DISTINCT doc_id, term FROM toks),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM dtf GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+q(qid, term) AS (VALUES {bool_vals}),
+nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+fg0 AS (
+  SELECT q.qid, dtf.doc_id, count(*) AS n_hit
+  FROM q JOIN dtf ON dtf.term = q.term GROUP BY q.qid, dtf.doc_id
+),
+fg AS (
+  SELECT fg0.qid, fg0.doc_id FROM fg0
+  JOIN nq ON nq.qid = fg0.qid WHERE fg0.n_hit = nq.n_terms
+),
+fgn AS (SELECT qid, count(*)::BIGINT AS fg_n FROM fg GROUP BY qid),
+fgdf AS (
+  SELECT fg.qid, dtf.term, count(*)::BIGINT AS fg_df
+  FROM fg JOIN dtf ON dtf.doc_id = fg.doc_id GROUP BY fg.qid, dtf.term
+),
+cand AS (
+  SELECT f.qid, f.term, f.fg_df, d.df
+  FROM fgdf f JOIN dft d ON d.term = f.term
+  LEFT JOIN q ON q.qid = f.qid AND q.term = f.term
+  WHERE q.term IS NULL
+),
+scored AS (
+  SELECT c.qid, c.term, c.fg_df, c.df,
+         ((c.fg_df::DOUBLE / fgn.fg_n) - (c.df::DOUBLE / s.n_docs))
+           * (c.fg_df::DOUBLE / fgn.fg_n) / (c.df::DOUBLE / s.n_docs) AS score
+  FROM cand c JOIN fgn ON fgn.qid = c.qid CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, term, fg_df, df, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, term, fg_df, df,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_i
+FROM ranked WHERE rank <= {SIGTERMS_K}
+ORDER BY qid, rank
+""".strip()
+
+    # best-passage: optimal windows anchor at occurrences; pure-integer
+    # output, no float discipline needed
+    sqls["best_passage"] = f"""
+WITH {tok_pos_cte},
+q(qid, term) AS (VALUES {bool_vals}),
+nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok_pos),
+fg0 AS (
+  SELECT q.qid, dterm.doc_id, count(*) AS n_hit
+  FROM q JOIN dterm ON dterm.term = q.term GROUP BY q.qid, dterm.doc_id
+),
+fg AS (
+  SELECT fg0.qid, fg0.doc_id FROM fg0
+  JOIN nq ON nq.qid = fg0.qid WHERE fg0.n_hit = nq.n_terms
+),
+occ AS (
+  SELECT q.qid, tp.doc_id, tp.term, tp.pos
+  FROM q JOIN tok_pos tp ON tp.term = q.term
+  JOIN fg ON fg.qid = q.qid AND fg.doc_id = tp.doc_id
+),
+cand AS (
+  SELECT a.qid, a.doc_id, a.pos AS start,
+         count(DISTINCT o.term) AS n_terms, count(*) AS n_occ
+  FROM (SELECT DISTINCT qid, doc_id, pos FROM occ) a
+  JOIN occ o ON o.qid = a.qid AND o.doc_id = a.doc_id
+            AND o.pos >= a.pos AND o.pos < a.pos + {PASSAGE_WIDTH}
+  GROUP BY a.qid, a.doc_id, a.pos
+),
+best AS (
+  SELECT qid, doc_id, start, n_terms, n_occ,
+         row_number() OVER (
+           PARTITION BY qid, doc_id
+           ORDER BY n_terms DESC, n_occ DESC, start ASC
+         ) AS rn
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, doc_id, start::BIGINT AS start,
+       n_terms::BIGINT AS n_terms, n_occ::BIGINT AS n_occ
+FROM best WHERE rn = 1
+ORDER BY qid, doc_id
 """.strip()
 
     # PMI collocations: exact BIGINT ratio inside ln (one double divide),

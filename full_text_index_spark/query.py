@@ -87,6 +87,31 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _bm25_scored_exact(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Exact (non-blockmax) BM25 scoring: every (qid, doc_id, score) for
+    ``qterms(qid, term, idf)`` — vectorized decode → JVM join + agg (no
+    Python scoring); postings are self-contained (doclen stream packed in),
+    so no doc_stats join — nothing big ever shuffles.  Tombstoned docs are
+    anti-joined out pre-scoring (fully distributed)."""
+    from full_text_index_spark.deletes import mask_deleted
+
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    decoded = mask_deleted(
+        index, _decode_postings(_matched_postings(index, terms, qterms))
+    )
+    return (
+        decoded.join(F.broadcast(qterms), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf") * (k1 + 1.0) * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def _matched_postings(index: InvertedIndex, terms: list[str],
                       qterms: DataFrame | None = None) -> DataFrame:
     """postings rows for the query vocabulary; uses an IN-list when the
@@ -134,27 +159,7 @@ def bm25_topk(
     )
 
     if not use_blockmax:
-        # exact path: vectorized decode → JVM join + agg + window (no Python
-        # scoring); postings are self-contained (doclen stream packed in),
-        # so no doc_stats join — nothing big ever shuffles.  Tombstoned
-        # docs are anti-joined out pre-scoring (fully distributed).
-        from full_text_index_spark.deletes import mask_deleted
-
-        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-        decoded = mask_deleted(
-            index, _decode_postings(_matched_postings(index, terms, qterms))
-        )
-        scored = (
-            decoded.join(F.broadcast(qterms), "term")
-            .withColumn(
-                "contrib",
-                F.col("idf") * (k1 + 1.0) * F.col("tf")
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
-            )
-            .groupBy("qid", "doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
-        return _rank_topk(scored, k)
+        return _rank_topk(_bm25_scored_exact(index, qterms), k)
 
     # block-max MaxScore path.  The query batch is SMALL (it fits the
     # driver by construction) and the postings are BIG — so the query
@@ -904,6 +909,154 @@ def more_like_this(
         )
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def collapse_topk(
+    index: InvertedIndex,
+    queries: DataFrame,
+    doc_groups: DataFrame,
+    k: int = 10,
+    per_group: int = 1,
+) -> DataFrame:
+    """Field-collapsed (grouped) BM25 top-k — Lucene/ES "field collapsing":
+    at most ``per_group`` best docs per (query, group) survive, then the
+    survivors are re-ranked into the final top-k.  The diversified-results
+    operator a search UI needs over a corpus where one site/source would
+    otherwise fill the whole page.
+
+    Collapsing is applied to the COMPLETE scored set (the exact scoring
+    path, `_bm25_scored_exact`), not to a truncated top-k pool — a group
+    whose best doc ranks 10^6-th globally is still its group's
+    representative, which a post-filter on `bm25_topk` output would lose.
+    Everything after the decode is JVM window functions; `doc_groups
+    (doc_id, group)` joins on doc_id behind the same shuffle.
+
+    Output: (qid, rank, doc_id, group, score), rank 1..k, tie-break
+    (round(score, 6) desc, doc_id asc) at BOTH windows."""
+    qterms = (
+        queries.select("qid", F.explode(F.array_distinct("terms")).alias("term"))
+        .join(F.broadcast(index.term_stats().select("term", "idf")), "term")
+    )
+    scored = _bm25_scored_exact(index, qterms).join(
+        doc_groups.select("doc_id", "group"), "doc_id"
+    )
+    order = [F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()]
+    in_group = Window.partitionBy("qid", "group").orderBy(*order)
+    overall = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("gr", F.row_number().over(in_group))
+        .where(F.col("gr") <= per_group)
+        .withColumn("rank", F.row_number().over(overall))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "group", "score")
+    )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    min_fg_df: int = 1,
+) -> DataFrame:
+    """Significant-terms facet (Elasticsearch's `significant_terms`
+    aggregation): for each query, the terms most over-represented in the
+    query's RESULT SET (docs containing every query term) relative to the
+    whole corpus — "what is this result set about".
+
+    Foreground df comes from re-tokenizing ONLY the matching docs (the
+    result set is query-selective; scanning it beats decoding every
+    term's postings, which is what restricting the full index would
+    cost), while the background df comes straight from the index
+    DICTIONARY — no corpus scan.  Score is the JLH heuristic
+    (fg% − bg%)·(fg% / bg%); query terms themselves are excluded.
+
+    Output: (qid, rank, term, fg_df, df, score), rank 1..k, tie-break
+    (round(score, 6) desc, term asc)."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    fg = boolean_and(index, queries).select("qid", "doc_id")
+    fg_n = fg.groupBy("qid").agg(F.count(F.lit(1)).alias("fg_n"))
+    fg_df = (
+        fg.join(docs.select("doc_id", "text"), "doc_id")
+        .select("qid", "doc_id",
+                F.explode(F.array_distinct(tokens_col(F.col("text"))))
+                .alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .join(qterms, ["qid", "term"], "left_anti")
+        .where(F.col("fg_df") >= min_fg_df)
+    )
+    n = float(index.n_docs)
+    fg_pct = F.col("fg_df") / F.col("fg_n")
+    bg_pct = F.col("df") / F.lit(n)
+    scored = (
+        fg_df.join(index.term_stats().select("term", "df"), "term")
+        .join(F.broadcast(fg_n), "qid")
+        .withColumn("score", (fg_pct - bg_pct) * fg_pct / bg_pct)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), RANK_ROUND).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "term",
+                F.col("fg_df").cast("long").alias("fg_df"),
+                F.col("df").cast("long").alias("df"), "score")
+    )
+
+
+def best_passage(
+    index: InvertedIndex,
+    queries: DataFrame,
+    width: int = 16,
+) -> DataFrame:
+    """Best-passage selection (Lucene's unified-highlighter passage
+    scoring): for each (query, matching doc), the token window of
+    ``width`` positions covering the most DISTINCT query terms —
+    tie-break most total occurrences, then smallest start — answered
+    entirely inside the positional index (no text access).
+
+    The optimal window can always be anchored at an occurrence, so
+    candidates are (start = each occurrence position); occurrences
+    self-join within [start, start+width) behind an equi-join on
+    (qid, doc_id) — fan-out per doc is (Σ tf_q)², bounded by the doc's
+    query-term frequencies, never corpus size.  Docs = conjunctive
+    matches (`boolean_and`), the docs a snippet is owed for.
+
+    Output: (qid, doc_id, start, n_terms, n_occ)."""
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    occ = (
+        term_positions(index, terms)
+        .join(qterms, "term")
+        .join(boolean_and(index, queries).select("qid", "doc_id"),
+              ["qid", "doc_id"], "left_semi")
+    )
+    anchors = occ.select("qid", "doc_id", F.col("tpos").alias("start")).distinct()
+    cand = (
+        anchors.join(occ, ["qid", "doc_id"])
+        .where((F.col("tpos") >= F.col("start"))
+               & (F.col("tpos") < F.col("start") + width))
+        .groupBy("qid", "doc_id", "start")
+        .agg(F.countDistinct("term").alias("n_terms"),
+             F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy("qid", "doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("n_occ").desc(), F.col("start").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", "doc_id", "start", "n_terms", "n_occ")
     )
 
 

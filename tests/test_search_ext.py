@@ -1,0 +1,235 @@
+"""Brute-force differentials for the round-4 search-layer extensions:
+field-collapsed top-k, significant-terms facet, best-passage selection.
+
+Same posture as test_bm25: a pure-pandas reimplementation is the oracle
+(the reference's sau-as-oracle pattern, utils/run_queries.c:420-422),
+every engine result must match it exactly (ranks/ids) or to rtol=1e-9
+(scores)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from full_text_index_spark.build import build_index, prepare_corpus
+from full_text_index_spark.index import InvertedIndex
+from full_text_index_spark.oracle import B, K1, RANK_ROUND
+from full_text_index_spark.query import (
+    best_passage,
+    collapse_topk,
+    significant_terms,
+)
+from full_text_index_spark.tokenizer import tokenize_py
+
+@pytest.fixture(scope="module")
+def docs_pdf(tiny_corpus_pdf, tiny_index):
+    ds = tiny_index.doc_stats().select("url", "doc_id").toPandas()
+    return tiny_corpus_pdf.merge(ds, on="url")
+
+
+@pytest.fixture(scope="module")
+def queries(docs_pdf) -> list[tuple[int, list[str]]]:
+    """Terms drawn from the FIXTURE corpus's own Zipf vocabulary (by df
+    rank) so single-, mid- and multi-term queries all have real result
+    sets, plus the absent/singleton edges FIXTURES.md guarantees."""
+    df: Counter = Counter()
+    for t in docs_pdf["text"]:
+        df.update(set(tokenize_py(t)))
+    by_rank = [t for t, _ in df.most_common()]
+    mid = [t for t in by_rank if 5 <= df[t] <= 60]
+    return [
+        (0, [by_rank[0]]),                 # head term: biggest result set
+        (1, [mid[0], mid[1]]),             # two mid-df terms (AND)
+        (2, [by_rank[2], mid[2]]),         # head + mid
+        (3, ["absentterm"]),               # no matches → no rows
+        (4, ["singletonterm0"]),           # exactly one matching doc
+    ]
+
+
+@pytest.fixture(scope="module")
+def qdf(tiny_index, queries):
+    return tiny_index.spark.createDataFrame(
+        queries, "qid long, terms array<string>"
+    )
+
+
+def _all_scores(docs: pd.DataFrame) -> tuple[dict, dict, dict, float, int]:
+    toks = {int(r["doc_id"]): tokenize_py(r["text"]) for _, r in docs.iterrows()}
+    doclen = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(doclen.values()) / n
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    return toks, tf, df, avgdl, n
+
+
+def _scores_for(terms, tf, df, doclen, avgdl, n):
+    scores: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        dft = df.get(t)
+        if not dft:
+            continue
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        for d, c in tf.items():
+            f = c.get(t)
+            if not f:
+                continue
+            norm = K1 * (1.0 - B + B * doclen[d] / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * f * (K1 + 1.0) / (f + norm)
+    return scores
+
+
+def _group_of(doc_id: int) -> str:
+    return f"src{doc_id % 3}"
+
+
+def test_collapse_topk_vs_brute_force(tiny_index, docs_pdf, qdf, queries):
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    doclen = {d: len(t) for d, t in toks.items()}
+    k, per_group = 10, 2
+
+    golden = []
+    for qid, terms in queries:
+        scores = _scores_for(terms, tf, df, doclen, avgdl, n)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-round(kv[1], RANK_ROUND), kv[0])
+        )
+        kept, per_g = [], Counter()
+        for d, s in ranked:
+            g = _group_of(d)
+            if per_g[g] < per_group:
+                per_g[g] += 1
+                kept.append((d, g, s))
+        for r, (d, g, s) in enumerate(kept[:k], start=1):
+            golden.append((qid, r, d, g, s))
+    golden = pd.DataFrame(
+        golden, columns=["qid", "rank", "doc_id", "group", "score"]
+    )
+
+    groups = tiny_index.doc_stats().select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string"))
+        .alias("group"),
+    )
+    got = (
+        collapse_topk(tiny_index, qdf, groups, k=k, per_group=per_group)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    assert got["group"].tolist() == golden["group"].tolist()
+    assert got[["qid", "rank"]].values.tolist() == \
+        golden[["qid", "rank"]].values.tolist()
+    np.testing.assert_allclose(got["score"], golden["score"], rtol=1e-9)
+    # collapsing really changed the list vs plain top-k for some query
+    # (the fixture corpus has >per_group docs per group in some result set)
+    plain = {
+        (qid, d)
+        for qid, terms in queries
+        for d in [
+            kv[0]
+            for kv in sorted(
+                _scores_for(terms, tf, df, doclen, avgdl, n).items(),
+                key=lambda kv: (-round(kv[1], RANK_ROUND), kv[0]),
+            )[:k]
+        ]
+    }
+    assert {(q, d) for q, _, d, _, _ in golden.itertuples(index=False)} != plain
+
+
+def test_significant_terms_vs_brute_force(tiny_index, docs_pdf, qdf, spark, queries):
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    k = 8
+
+    golden = []
+    for qid, terms in queries:
+        tset = sorted(set(terms))
+        fg_docs = [d for d, c in tf.items() if all(t in c for t in tset)]
+        if not fg_docs:
+            continue
+        fg_n = len(fg_docs)
+        fg_df: Counter = Counter()
+        for d in fg_docs:
+            fg_df.update(set(toks[d]))
+        rows = []
+        for t, fdf in fg_df.items():
+            if t in tset:
+                continue
+            fg_pct = fdf / fg_n
+            bg_pct = df[t] / n
+            score = (fg_pct - bg_pct) * fg_pct / bg_pct
+            rows.append((t, fdf, df[t], score))
+        rows.sort(key=lambda r: (-round(r[3], RANK_ROUND), r[0]))
+        for r, (t, fdf, bdf, s) in enumerate(rows[:k], start=1):
+            golden.append((qid, r, t, fdf, bdf, s))
+    golden = pd.DataFrame(
+        golden, columns=["qid", "rank", "term", "fg_df", "df", "score"]
+    )
+    assert len(golden) > 0
+
+    docs_sdf = tiny_index.doc_stats().select("doc_id", "url").join(
+        spark.createDataFrame(docs_pdf[["url", "text"]]), "url"
+    ).select("doc_id", "text")
+    got = (
+        significant_terms(tiny_index, docs_sdf, qdf, k=k)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got["term"].tolist() == golden["term"].tolist()
+    assert got["fg_df"].tolist() == golden["fg_df"].tolist()
+    assert got["df"].tolist() == golden["df"].tolist()
+    assert got[["qid", "rank"]].values.tolist() == \
+        golden[["qid", "rank"]].values.tolist()
+    np.testing.assert_allclose(got["score"], golden["score"], rtol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus_pdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posidx_ext"))
+    corpus = prepare_corpus(spark.createDataFrame(tiny_corpus_pdf))
+    build_index(spark, corpus, root, n_segments=4, block_size=16,
+                positions=True)
+    return InvertedIndex.open(spark, root)
+
+
+def test_best_passage_vs_brute_force(pos_index, docs_pdf, qdf, queries):
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    width = 8
+
+    golden = []
+    for qid, terms in queries:
+        tset = sorted(set(terms))
+        for d in sorted(tf):
+            if not all(t in tf[d] for t in tset):
+                continue
+            occ = [
+                (p + 1, t) for p, t in enumerate(toks[d]) if t in tset
+            ]  # 1-based, matching the positional stream
+            best = None
+            for start, _ in occ:
+                inside = [(p, t) for p, t in occ if start <= p < start + width]
+                key = (-len({t for _, t in inside}), -len(inside), start)
+                if best is None or key < best[0]:
+                    best = (key, start, len({t for _, t in inside}), len(inside))
+            golden.append((qid, d, best[1], best[2], best[3]))
+    golden = pd.DataFrame(
+        golden, columns=["qid", "doc_id", "start", "n_terms", "n_occ"]
+    )
+    assert len(golden) > 0
+    # multi-term queries must contribute some n_terms > 1 passage
+    assert (golden["n_terms"] > 1).any()
+
+    got = (
+        best_passage(pos_index, qdf, width=width)
+        .toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        golden.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+        .astype("int64"),
+    )
