@@ -683,6 +683,56 @@ def _q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_PREFIXES = ["s", "c", "data", "jo", "zzzzabsent"]
+SPELL_QUERIES = ["joinx", "custoner", "dat", "qery", "ke", "zzzzqqzz"]
+SPELL_EDITS = 1
+
+
+def _q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-ahead completion from the vocab-sized dictionary alone."""
+    from full_text_index_spark.query import suggest_terms
+
+    idx = _index_for(spark, sf_dir)
+    return (
+        suggest_terms(idx, SUGGEST_PREFIXES, k=5)
+        .select("prefix", F.col("rank").cast("long").alias("rank"), "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("prefix", "rank")
+    )
+
+
+def _q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean over the dictionary (Levenshtein <= 1, cf-ranked)."""
+    from full_text_index_spark.query import spellcheck_terms
+
+    idx = _index_for(spark, sf_dir)
+    return (
+        spellcheck_terms(idx, SPELL_QUERIES, max_edits=SPELL_EDITS, k=5)
+        .select("query", F.col("rank").cast("long").alias("rank"),
+                "suggestion", F.col("dist").cast("long").alias("dist"),
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("query", "rank")
+    )
+
+
+def _q_passage_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-passage + re-materialized window text (ranked display)."""
+    from full_text_index_spark.query import passage_snippets
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_QUERIES, "qid long, terms array<string>")
+    return (
+        passage_snippets(idx, _documents(spark, sf_dir), qdf,
+                         width=PASSAGE_WIDTH)
+        .select("qid", "doc_id", F.col("start").cast("long").alias("start"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_occ").cast("long").alias("n_occ"), "snippet")
+        .orderBy("qid", "doc_id")
+    )
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return phrase_search(idx, _documents(spark, sf_dir), PHRASES).orderBy(
@@ -1132,6 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse_topk,
         "significant_terms": _q_significant_terms,
         "best_passage": _q_best_passage,
+        "passage_snippets": _q_passage_snippets,
+        "suggest_terms": _q_suggest_terms,
+        "spellcheck": _q_spellcheck,
         "phrase_search": _q_phrase_search,
         "phrase_positions": _q_phrase_positions,
         "term_positions": _q_term_positions,
@@ -1743,6 +1796,101 @@ SELECT qid::BIGINT AS qid, doc_id, start::BIGINT AS start,
        n_terms::BIGINT AS n_terms, n_occ::BIGINT AS n_occ
 FROM best WHERE rn = 1
 ORDER BY qid, doc_id
+""".strip()
+
+    # passage snippets: the best_passage pipeline + the winning window's
+    # tokens re-materialized (DuckDB list slices are 1-based INCLUSIVE:
+    # l[s : s+W-1] is exactly W elements, clamped at the tail)
+    sqls["passage_snippets"] = f"""
+WITH {tok_pos_cte},
+q(qid, term) AS (VALUES {bool_vals}),
+nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok_pos),
+fg0 AS (
+  SELECT q.qid, dterm.doc_id, count(*) AS n_hit
+  FROM q JOIN dterm ON dterm.term = q.term GROUP BY q.qid, dterm.doc_id
+),
+fg AS (
+  SELECT fg0.qid, fg0.doc_id FROM fg0
+  JOIN nq ON nq.qid = fg0.qid WHERE fg0.n_hit = nq.n_terms
+),
+occ AS (
+  SELECT q.qid, tp.doc_id, tp.term, tp.pos
+  FROM q JOIN tok_pos tp ON tp.term = q.term
+  JOIN fg ON fg.qid = q.qid AND fg.doc_id = tp.doc_id
+),
+cand AS (
+  SELECT a.qid, a.doc_id, a.pos AS start,
+         count(DISTINCT o.term) AS n_terms, count(*) AS n_occ
+  FROM (SELECT DISTINCT qid, doc_id, pos FROM occ) a
+  JOIN occ o ON o.qid = a.qid AND o.doc_id = a.doc_id
+            AND o.pos >= a.pos AND o.pos < a.pos + {PASSAGE_WIDTH}
+  GROUP BY a.qid, a.doc_id, a.pos
+),
+best AS (
+  SELECT qid, doc_id, start, n_terms, n_occ,
+         row_number() OVER (
+           PARTITION BY qid, doc_id
+           ORDER BY n_terms DESC, n_occ DESC, start ASC
+         ) AS rn
+  FROM cand
+)
+SELECT b.qid::BIGINT AS qid, b.doc_id AS doc_id, b.start::BIGINT AS start,
+       b.n_terms::BIGINT AS n_terms, b.n_occ::BIGINT AS n_occ,
+       array_to_string(t.l[b.start : b.start + {PASSAGE_WIDTH - 1}], ' ')
+         AS snippet
+FROM best b JOIN tok_arrays t ON t.doc_id = b.doc_id
+WHERE b.rn = 1
+ORDER BY qid, doc_id
+""".strip()
+
+    # dictionary suggesters: cf/df from the token stream = the engine's
+    # dictionary; integer outputs only
+    suggest_vals = ", ".join(f"('{p}')" for p in sorted(set(SUGGEST_PREFIXES)))
+    sqls["suggest_terms"] = f"""
+WITH {TOKS_CTE},
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM toks GROUP BY term
+),
+probe(prefix) AS (VALUES {suggest_vals}),
+ranked AS (
+  SELECT probe.prefix AS prefix, d.term, d.df, d.cf,
+         row_number() OVER (
+           PARTITION BY probe.prefix ORDER BY d.cf DESC, d.term ASC
+         ) AS rank
+  FROM probe JOIN dict d ON starts_with(d.term, probe.prefix)
+)
+SELECT prefix, rank::BIGINT AS rank, term, df, cf
+FROM ranked WHERE rank <= 5
+ORDER BY prefix, rank
+""".strip()
+
+    spell_vals = ", ".join(f"('{t}')" for t in sorted(set(SPELL_QUERIES)))
+    sqls["spellcheck"] = f"""
+WITH {TOKS_CTE},
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM toks GROUP BY term
+),
+probe(query) AS (VALUES {spell_vals}),
+cand AS (
+  SELECT probe.query AS query, d.term, d.df, d.cf,
+         levenshtein(d.term, probe.query)::BIGINT AS dist
+  FROM probe JOIN dict d
+    ON abs(length(d.term) - length(probe.query)) <= {SPELL_EDITS}
+  WHERE levenshtein(d.term, probe.query) BETWEEN 1 AND {SPELL_EDITS}
+),
+ranked AS (
+  SELECT query, term, dist, df, cf,
+         row_number() OVER (
+           PARTITION BY query ORDER BY dist ASC, cf DESC, term ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query, rank::BIGINT AS rank, term AS suggestion, dist, df, cf
+FROM ranked WHERE rank <= 5
+ORDER BY query, rank
 """.strip()
 
     # PMI collocations: exact BIGINT ratio inside ln (one double divide),

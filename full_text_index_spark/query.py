@@ -1060,6 +1060,106 @@ def best_passage(
     )
 
 
+def passage_snippets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: DataFrame,
+    width: int = 16,
+) -> DataFrame:
+    """`best_passage` + the actual text: re-materialize each winning
+    window's tokens from the stored text column (the display analog for
+    ranked passages — reference display reconstructs context around each
+    occurrence, ssa/SSA.cpp:340-433; here the window is the OPTIMAL one,
+    not every occurrence).
+
+    Only the winning (qid, doc) rows join back to text — one row per
+    conjunctive match, never per occurrence.  Token positions are 1-based
+    over the same filtered token sequence the index was built from, so
+    `slice(tokens, start, width)` is exact.
+
+    Output: (qid, doc_id, start, n_terms, n_occ, snippet)."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    bp = best_passage(index, queries, width=width)
+    return (
+        bp.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "qid", "doc_id", "start", "n_terms", "n_occ",
+            F.array_join(
+                F.slice(tokens_col(F.col("text")), F.col("start"), width), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    prefixes: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Type-ahead term completion (Lucene's prefix suggester): for each
+    prefix, the top-k dictionary terms ordered by (cf desc, term asc) —
+    answered from the VOCAB-SIZED dictionary alone, the corpus and
+    postings are never touched.  A prefix that matches nothing returns no
+    rows (the reference's char-not-in-file posture).
+
+    Output: (prefix, rank, term, df, cf)."""
+    pdf = index.spark.createDataFrame(
+        [(p,) for p in sorted(set(prefixes))], "prefix string"
+    )
+    cand = index.term_stats().select("term", "df", "cf").join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("prefix", "rank", "term", "df", "cf")
+    )
+
+
+def spellcheck_terms(
+    index: InvertedIndex,
+    terms: list[str],
+    max_edits: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean (Lucene DirectSpellChecker): for each query term, the
+    top-k dictionary terms within ``max_edits`` Levenshtein edits, ordered
+    by (dist asc, cf desc, term asc); the exact term itself (dist 0) is
+    excluded — a suggestion IS an alternative.
+
+    One vocab-sized dictionary scan against the broadcast query set; the
+    length-difference prefilter (|len(a)−len(b)| ≤ max_edits, a lower
+    bound on edit distance) keeps the codegen'd levenshtein off most of
+    the dictionary.  Corpus and postings are never touched.
+
+    Output: (query, rank, suggestion, dist, df, cf)."""
+    qdf = index.spark.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "query string"
+    )
+    ts = index.term_stats().select("term", "df", "cf")
+    cand = (
+        ts.join(
+            F.broadcast(qdf),
+            F.abs(F.length("term") - F.length("query")) <= max_edits,
+        )
+        .withColumn("dist", F.levenshtein("term", "query"))
+        .where((F.col("dist") <= max_edits) & (F.col("dist") > 0))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("dist").asc(), F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "rank", F.col("term").alias("suggestion"),
+                "dist", "df", "cf")
+    )
+
+
 def glob_to_regex(pattern: str) -> str:
     """Anchored regex for a ``*``-glob over dictionary terms, built from
     re.escape'd literal segments — identical semantics in Java regex and

@@ -233,3 +233,106 @@ def test_best_passage_vs_brute_force(pos_index, docs_pdf, qdf, queries):
         golden.sort_values(["qid", "doc_id"]).reset_index(drop=True)
         .astype("int64"),
     )
+
+def test_passage_snippets_text_matches_window(spark, pos_index, docs_pdf,
+                                              qdf, queries):
+    from full_text_index_spark.query import passage_snippets
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    width = 8
+    docs_sdf = pos_index.doc_stats().select("doc_id", "url").join(
+        spark.createDataFrame(docs_pdf[["url", "text"]]), "url"
+    ).select("doc_id", "text")
+    got = (
+        passage_snippets(pos_index, docs_sdf, qdf, width=width)
+        .toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    for r in got.itertuples(index=False):
+        expect = " ".join(toks[r.doc_id][r.start - 1: r.start - 1 + width])
+        assert r.snippet == expect, (r.qid, r.doc_id, r.start)
+        # the window really contains n_terms distinct query terms
+        qt = set(dict(queries)[r.qid])
+        assert len(qt & set(expect.split())) == r.n_terms
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_terms_vs_brute_force(tiny_index, docs_pdf):
+    from full_text_index_spark.query import suggest_terms
+
+    cf: Counter = Counter()
+    dfc: Counter = Counter()
+    for t in docs_pdf["text"]:
+        tk = tokenize_py(t)
+        cf.update(tk)
+        dfc.update(set(tk))
+    head = cf.most_common(1)[0][0]
+    prefixes = [head[:2], head, "zzzzabsent"]
+    k = 5
+
+    golden = []
+    for p in sorted(set(prefixes)):
+        hits = sorted((t for t in cf if t.startswith(p)),
+                      key=lambda t: (-cf[t], t))[:k]
+        for r, t in enumerate(hits, 1):
+            golden.append((p, r, t, dfc[t], cf[t]))
+    golden = pd.DataFrame(
+        golden, columns=["prefix", "rank", "term", "df", "cf"])
+    assert (golden["prefix"] == head[:2]).any()
+    assert not (golden["prefix"] == "zzzzabsent").any()
+
+    got = (suggest_terms(tiny_index, prefixes, k=k).toPandas()
+           .sort_values(["prefix", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64", "df": "int64", "cf": "int64"}),
+        golden.sort_values(["prefix", "rank"]).reset_index(drop=True)
+        .astype({"rank": "int64", "df": "int64", "cf": "int64"}),
+    )
+
+
+def test_spellcheck_terms_vs_brute_force(tiny_index, docs_pdf):
+    from full_text_index_spark.query import spellcheck_terms
+
+    cf: Counter = Counter()
+    dfc: Counter = Counter()
+    for t in docs_pdf["text"]:
+        tk = tokenize_py(t)
+        cf.update(tk)
+        dfc.update(set(tk))
+    head = cf.most_common(1)[0][0]
+    typo = head[:-1] + ("x" if head[-1] != "x" else "q")  # 1 edit from head
+    queries = [typo, head, "qqqqqqzzzz"]
+    k, me = 5, 1
+
+    golden = []
+    for q in sorted(set(queries)):
+        hits = [(t, _lev(t, q)) for t in cf
+                if abs(len(t) - len(q)) <= me and 0 < _lev(t, q) <= me]
+        hits.sort(key=lambda h: (h[1], -cf[h[0]], h[0]))
+        for r, (t, d) in enumerate(hits[:k], 1):
+            golden.append((q, r, t, d, dfc[t], cf[t]))
+    golden = pd.DataFrame(
+        golden, columns=["query", "rank", "suggestion", "dist", "df", "cf"])
+    # the typo form must recover the head term as its top suggestion
+    top = golden[(golden["query"] == typo) & (golden["rank"] == 1)]
+    assert top["suggestion"].tolist() == [head]
+
+    got = (spellcheck_terms(tiny_index, queries, max_edits=me, k=k)
+           .toPandas().sort_values(["query", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64", "dist": "int64", "df": "int64",
+                    "cf": "int64"}),
+        golden.sort_values(["query", "rank"]).reset_index(drop=True)
+        .astype({"rank": "int64", "dist": "int64", "df": "int64",
+                 "cf": "int64"}),
+    )
