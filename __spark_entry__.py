@@ -733,6 +733,22 @@ def _q_passage_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query facet (source) counts over the conjunctive match set."""
+    from full_text_index_spark.query import facet_counts
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_QUERIES, "qid long, terms array<string>")
+    facets = _documents(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("facet")
+    )
+    return (
+        facet_counts(idx, facets, qdf)
+        .select("qid", "facet", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("qid", "facet")
+    )
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return phrase_search(idx, _documents(spark, sf_dir), PHRASES).orderBy(
@@ -1183,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "best_passage": _q_best_passage,
         "passage_snippets": _q_passage_snippets,
+        "facet_counts": _q_facet_counts,
         "suggest_terms": _q_suggest_terms,
         "spellcheck": _q_spellcheck,
         "phrase_search": _q_phrase_search,
@@ -1891,6 +1908,25 @@ ranked AS (
 SELECT query, rank::BIGINT AS rank, term AS suggestion, dist, df, cf
 FROM ranked WHERE rank <= 5
 ORDER BY query, rank
+""".strip()
+
+    sqls["facet_counts"] = f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {bool_vals}),
+nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+dtf AS (SELECT DISTINCT doc_id, term FROM toks),
+fg0 AS (
+  SELECT q.qid, dtf.doc_id, count(*) AS n_hit
+  FROM q JOIN dtf ON dtf.term = q.term GROUP BY q.qid, dtf.doc_id
+),
+fg AS (
+  SELECT fg0.qid, fg0.doc_id FROM fg0
+  JOIN nq ON nq.qid = fg0.qid WHERE fg0.n_hit = nq.n_terms
+)
+SELECT fg.qid::BIGINT AS qid, d.source AS facet, count(*)::BIGINT AS n_docs
+FROM fg JOIN documents d ON d.doc_id = fg.doc_id
+GROUP BY fg.qid, d.source
+ORDER BY qid, facet
 """.strip()
 
     # PMI collocations: exact BIGINT ratio inside ln (one double divide),

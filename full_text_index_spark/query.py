@@ -1160,6 +1160,29 @@ def spellcheck_terms(
     )
 
 
+def facet_counts(
+    index: InvertedIndex,
+    doc_facets: DataFrame,
+    queries: DataFrame,
+    facet_col: str = "facet",
+) -> DataFrame:
+    """Facet counts (the search-UI sidebar): for each query, how many
+    conjunctive-match docs fall in each facet value — one posting-driven
+    match (`boolean_and`, no text access) + an equi-join to the
+    doc-facet table behind one aggregation.  ``doc_facets(doc_id,
+    <facet_col>)``; at 100 TB the facet table is doc_stats-sized and the
+    match set is query-selective, so the join shuffles only matches.
+
+    Output: (qid, facet, n_docs)."""
+    fg = boolean_and(index, queries).select("qid", "doc_id")
+    return (
+        fg.join(doc_facets.select("doc_id",
+                                  F.col(facet_col).alias("facet")), "doc_id")
+        .groupBy("qid", "facet")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def glob_to_regex(pattern: str) -> str:
     """Anchored regex for a ``*``-glob over dictionary terms, built from
     re.escape'd literal segments — identical semantics in Java regex and

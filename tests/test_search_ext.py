@@ -336,3 +336,50 @@ def test_spellcheck_terms_vs_brute_force(tiny_index, docs_pdf):
         .astype({"rank": "int64", "dist": "int64", "df": "int64",
                  "cf": "int64"}),
     )
+
+def test_facet_counts_vs_brute_force(tiny_index, docs_pdf, qdf, queries):
+    from full_text_index_spark.query import facet_counts
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    golden = []
+    for qid, terms in queries:
+        tset = sorted(set(terms))
+        fc: Counter = Counter()
+        for d, c in tf.items():
+            if all(t in c for t in tset):
+                fc[_group_of(d)] += 1
+        for g in sorted(fc):
+            golden.append((qid, g, fc[g]))
+    golden = pd.DataFrame(golden, columns=["qid", "facet", "n_docs"])
+    assert len(golden) > 0
+
+    facets = tiny_index.doc_stats().select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string"))
+        .alias("facet"),
+    )
+    got = (facet_counts(tiny_index, facets, qdf)
+           .toPandas().sort_values(["qid", "facet"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": "int64"}),
+        golden.sort_values(["qid", "facet"]).reset_index(drop=True)
+        .astype({"n_docs": "int64"}),
+    )
+
+
+def test_dictionary_ops_never_scan_corpus_or_postings(tiny_index):
+    """suggest/spellcheck must be answered from the dictionary ALONE:
+    their physical plans read the term_stats parquet and nothing else
+    (reference posture: the vocabulary is the smallest stream; at 100 TB
+    a suggester that touches postings or text is wrong)."""
+    from full_text_index_spark.query import spellcheck_terms, suggest_terms
+
+    for df in (suggest_terms(tiny_index, ["a"], k=3),
+               spellcheck_terms(tiny_index, ["abc"], k=3)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln
+                 or "Scan parquet" in ln]
+        assert scans, plan[:500]
+        for ln in scans:
+            assert "term_stats" in ln, ln
+        assert "postings" not in plan and "doc_stats" not in plan

@@ -1,6 +1,7 @@
 """Two-level (N vs 4N cores) scaling evidence for the round-4 extended
 query surface (regex / approx / ci-substring / NEAR / wildcard /
-more-like-this / collocations / PII / containment).
+more-like-this / collocations / PII / containment / field-collapse /
+significant-terms / best-passage+snippets / suggest / spellcheck).
 
 Same methodology as tools/scaling_bench.py (BENCH/BASELINE.md): serial
 runs only (one Spark JVM at a time), 1-min load average recorded at each
@@ -44,6 +45,12 @@ OPS = [
     "collocations",
     "pii_redact",
     "dedup_containment",
+    "collapse_topk",
+    "significant_terms",
+    "best_passage",
+    "passage_snippets",
+    "suggest_terms",
+    "spellcheck",
 ]
 
 
