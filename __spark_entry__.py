@@ -733,6 +733,30 @@ def _q_passage_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOLX_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
+    (0, ["join", "hash"], [], []),
+    (1, ["join"], [], ["hash"]),
+    (2, [], ["dup", "stream", "row"], []),
+    (3, [], ["dup", "stream"], ["row"]),
+    (4, ["customer"], ["query", "fast"], ["dup"]),
+    (5, ["absentterm"], ["join"], []),
+    (6, ["spark"], [], ["absentterm"]),
+]
+
+
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style must/should/must_not boolean retrieval."""
+    from full_text_index_spark.query import boolean_search
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        BOOLX_QUERIES,
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    return boolean_search(idx, qdf).orderBy("qid", "doc_id")
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query facet (source) counts over the conjunctive match set."""
     from full_text_index_spark.query import facet_counts
@@ -1200,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": _q_best_passage,
         "passage_snippets": _q_passage_snippets,
         "facet_counts": _q_facet_counts,
+        "boolean_search": _q_boolean_search,
         "suggest_terms": _q_suggest_terms,
         "spellcheck": _q_spellcheck,
         "phrase_search": _q_phrase_search,
@@ -1908,6 +1933,42 @@ ranked AS (
 SELECT query, rank::BIGINT AS rank, term AS suggestion, dist, df, cf
 FROM ranked WHERE rank <= 5
 ORDER BY query, rank
+""".strip()
+
+    boolx_vals = ", ".join(
+        f"({qid}, '{t}', '{role}')"
+        for qid, must, should, must_not in BOOLX_QUERIES
+        for role, terms in (("must", must), ("should", should),
+                            ("must_not", must_not))
+        for t in sorted(set(terms))
+    )
+    boolx_qids = ", ".join(f"({qid})" for qid, *_ in BOOLX_QUERIES)
+    sqls["boolean_search"] = f"""
+WITH {TOKS_CTE},
+q(qid, term, role) AS (VALUES {boolx_vals}),
+qids(qid) AS (VALUES {boolx_qids}),
+dtf AS (SELECT DISTINCT doc_id, term FROM toks),
+nm AS (
+  SELECT qid, count(DISTINCT term) AS n_must
+  FROM q WHERE role = 'must' GROUP BY qid
+),
+h AS (
+  SELECT q.qid, dtf.doc_id,
+         count(DISTINCT CASE WHEN q.role = 'must' THEN q.term END)
+           AS must_hit,
+         count(DISTINCT CASE WHEN q.role = 'should' THEN q.term END)
+           AS n_should,
+         count(DISTINCT CASE WHEN q.role = 'must_not' THEN q.term END)
+           AS not_hit
+  FROM q JOIN dtf ON dtf.term = q.term
+  GROUP BY q.qid, dtf.doc_id
+)
+SELECT h.qid::BIGINT AS qid, h.doc_id, h.n_should::BIGINT AS n_should
+FROM h JOIN qids ON qids.qid = h.qid
+LEFT JOIN nm ON nm.qid = h.qid
+WHERE h.must_hit = coalesce(nm.n_must, 0) AND h.not_hit = 0
+  AND (coalesce(nm.n_must, 0) > 0 OR h.n_should > 0)
+ORDER BY qid, doc_id
 """.strip()
 
     sqls["facet_counts"] = f"""

@@ -1160,6 +1160,76 @@ def spellcheck_terms(
     )
 
 
+def boolean_search(index: InvertedIndex, queries: DataFrame) -> DataFrame:
+    """Lucene-style boolean retrieval: ``queries(qid, must array<string>,
+    should array<string>, must_not array<string>)`` → docs containing
+    EVERY must term, NONE of the must_not terms, and — when must is
+    empty — at least one should term (Lucene's BooleanQuery contract:
+    pure-negative queries are invalid and raise).
+
+    One decode of the UNION of all roles' terms; role-tagged query rows
+    broadcast onto it; per-(qid, doc) role counts behind one aggregation;
+    the filter is a JVM predicate.  NOT never scans the corpus: a doc
+    enters the candidate set only via a positive (must/should) posting,
+    and must_not hits are counted on the same decoded stream — the only
+    correct exclusion an inverted index can do without a full-corpus
+    complement.
+
+    Output: (qid, doc_id, n_should) with n_should the number of distinct
+    should terms present (the coordination factor a ranker would use)."""
+    from full_text_index_spark.deletes import mask_deleted
+
+    roles = []
+    for role in ("must", "should", "must_not"):
+        roles.append(
+            queries.select(
+                "qid",
+                F.explode(F.array_distinct(F.col(role))).alias("term"),
+                F.lit(role).alias("role"),
+            )
+        )
+    qterms = roles[0].unionByName(roles[1]).unionByName(roles[2])
+    bad = (
+        queries.where(
+            (F.size(F.array_distinct("must")) == 0)
+            & (F.size(F.array_distinct("should")) == 0)
+        ).select("qid").limit(1).collect()
+    )
+    if bad:
+        raise ValueError(
+            f"qid {bad[0]['qid']}: pure-negative boolean query (empty must "
+            "AND should) is invalid — Lucene BooleanQuery contract"
+        )
+    n_must = queries.select(
+        "qid", F.size(F.array_distinct("must")).alias("n_must")
+    )
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    decoded = mask_deleted(
+        index, _decode_postings(_matched_postings(index, terms, qterms))
+    )
+    hits = (
+        decoded.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.when(F.col("role") == "must", 1).otherwise(0))
+            .alias("must_hit"),
+            F.sum(F.when(F.col("role") == "should", 1).otherwise(0))
+            .alias("n_should"),
+            F.sum(F.when(F.col("role") == "must_not", 1).otherwise(0))
+            .alias("not_hit"),
+        )
+    )
+    return (
+        hits.join(F.broadcast(n_must), "qid")
+        .where(
+            (F.col("must_hit") == F.col("n_must"))
+            & (F.col("not_hit") == 0)
+            & ((F.col("n_must") > 0) | (F.col("n_should") > 0))
+        )
+        .select("qid", "doc_id", F.col("n_should").cast("long").alias("n_should"))
+    )
+
+
 def facet_counts(
     index: InvertedIndex,
     doc_facets: DataFrame,

@@ -383,3 +383,63 @@ def test_dictionary_ops_never_scan_corpus_or_postings(tiny_index):
         for ln in scans:
             assert "term_stats" in ln, ln
         assert "postings" not in plan and "doc_stats" not in plan
+
+def test_boolean_search_vs_brute_force(tiny_index, docs_pdf, spark):
+    from full_text_index_spark.query import boolean_search
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    by_rank = [t for t, _ in Counter(
+        {t: c for t, c in df.items()}).most_common()]
+    mid = [t for t in by_rank if 5 <= df[t] <= 60]
+    a, b, c, d = by_rank[0], mid[0], mid[1], mid[2]
+    e = mid[3]
+    workload = [
+        (0, [a, b], [], []),               # must only
+        (1, [a], [], [b]),                 # must + not
+        (2, [], [b, c, d], []),            # should only (>=1)
+        (3, [], [b, c], [e]),              # should + not
+        (4, [a], [c, d], [b]),             # all three roles
+        (5, ["absentterm"], [b], []),      # absent must -> no rows
+        (6, [a], [], ["absentterm"]),      # absent not -> no exclusions
+    ]
+    golden = []
+    for qid, must, should, must_not in workload:
+        for doc in sorted(tf):
+            cdoc = tf[doc]
+            if any(t not in cdoc for t in set(must)):
+                continue
+            if any(t in cdoc for t in set(must_not)):
+                continue
+            ns = sum(1 for t in set(should) if t in cdoc)
+            if not must and ns == 0:
+                continue
+            golden.append((qid, doc, ns))
+    golden = pd.DataFrame(golden, columns=["qid", "doc_id", "n_should"])
+    for q in (0, 1, 2, 3, 4, 6):
+        assert (golden["qid"] == q).any(), q
+    assert not (golden["qid"] == 5).any()
+
+    qdf = spark.createDataFrame(
+        workload,
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    got = (boolean_search(tiny_index, qdf).toPandas()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_should": "int64"}),
+        golden.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+        .astype({"n_should": "int64"}),
+    )
+
+
+def test_boolean_search_rejects_pure_negative(tiny_index, spark):
+    from full_text_index_spark.query import boolean_search
+
+    qdf = spark.createDataFrame(
+        [(0, [], [], ["anything"])],
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    with pytest.raises(ValueError, match="pure-negative"):
+        boolean_search(tiny_index, qdf)
