@@ -757,6 +757,24 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_search(idx, qdf).orderBy("qid", "doc_id")
 
 
+def _q_ranked_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k + best highlight window per hit (the search-UI flow)."""
+    from full_text_index_spark.query import ranked_snippets
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid long, terms array<string>")
+    return (
+        ranked_snippets(idx, _documents(spark, sf_dir), qdf, k=10,
+                        width=PASSAGE_WIDTH)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+                _score_i(F.col("score")).alias("score_i"),
+                F.col("start").cast("long").alias("start"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_occ").cast("long").alias("n_occ"), "snippet")
+        .orderBy("qid", "rank")
+    )
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query facet (source) counts over the conjunctive match set."""
     from full_text_index_spark.query import facet_counts
@@ -1225,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_snippets": _q_passage_snippets,
         "facet_counts": _q_facet_counts,
         "boolean_search": _q_boolean_search,
+        "ranked_snippets": _q_ranked_snippets,
         "suggest_terms": _q_suggest_terms,
         "spellcheck": _q_spellcheck,
         "phrase_search": _q_phrase_search,
@@ -1933,6 +1952,74 @@ ranked AS (
 SELECT query, rank::BIGINT AS rank, term AS suggestion, dist, df, cf
 FROM ranked WHERE rank <= 5
 ORDER BY query, rank
+""".strip()
+
+    sqls["ranked_snippets"] = f"""
+WITH tok_arrays AS (
+  SELECT doc_id, list_filter({tokens_sql('text')}, t -> t <> '') AS l
+  FROM documents
+),
+tok_pos AS (
+  SELECT doc_id, unnest(l) AS term, unnest(generate_series(1, len(l))) AS pos
+  FROM tok_arrays
+),
+toks AS (SELECT doc_id, term FROM tok_pos),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY term, doc_id),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_bm25_values_sql()}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)) AS c
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+),
+hits AS (SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10),
+occ AS (
+  SELECT q.qid, tp.doc_id, tp.term, tp.pos
+  FROM q JOIN tok_pos tp ON tp.term = q.term
+  JOIN hits h ON h.qid = q.qid AND h.doc_id = tp.doc_id
+),
+cand AS (
+  SELECT a.qid, a.doc_id, a.pos AS start,
+         count(DISTINCT o.term) AS n_terms, count(*) AS n_occ
+  FROM (SELECT DISTINCT qid, doc_id, pos FROM occ) a
+  JOIN occ o ON o.qid = a.qid AND o.doc_id = a.doc_id
+            AND o.pos >= a.pos AND o.pos < a.pos + {PASSAGE_WIDTH}
+  GROUP BY a.qid, a.doc_id, a.pos
+),
+best AS (
+  SELECT qid, doc_id, start, n_terms, n_occ,
+         row_number() OVER (
+           PARTITION BY qid, doc_id
+           ORDER BY n_terms DESC, n_occ DESC, start ASC
+         ) AS rn
+  FROM cand
+)
+SELECT h.qid::BIGINT AS qid, h.rank::BIGINT AS rank, h.doc_id AS doc_id,
+       CAST(floor(h.score * 10000 + 0.5) AS BIGINT) AS score_i,
+       b.start::BIGINT AS start, b.n_terms::BIGINT AS n_terms,
+       b.n_occ::BIGINT AS n_occ,
+       array_to_string(t.l[b.start : b.start + {PASSAGE_WIDTH - 1}], ' ')
+         AS snippet
+FROM hits h
+JOIN best b ON b.qid = h.qid AND b.doc_id = h.doc_id AND b.rn = 1
+JOIN tok_arrays t ON t.doc_id = h.doc_id
+ORDER BY qid, rank
 """.strip()
 
     boolx_vals = ", ".join(

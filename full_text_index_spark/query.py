@@ -1041,6 +1041,13 @@ def best_passage(
         .join(boolean_and(index, queries).select("qid", "doc_id"),
               ["qid", "doc_id"], "left_semi")
     )
+    return _best_windows(occ, width)
+
+
+def _best_windows(occ: DataFrame, width: int) -> DataFrame:
+    """Winning window per (qid, doc) from ``occ(qid, doc_id, term, tpos)``:
+    anchor at each occurrence, count distinct terms / total occurrences in
+    [start, start+width), tie-break (n_terms desc, n_occ desc, start)."""
     anchors = occ.select("qid", "doc_id", F.col("tpos").alias("start")).distinct()
     cand = (
         anchors.join(occ, ["qid", "doc_id"])
@@ -1057,6 +1064,49 @@ def best_passage(
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("qid", "doc_id", "start", "n_terms", "n_occ")
+    )
+
+
+def ranked_snippets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    width: int = 16,
+) -> DataFrame:
+    """The complete search-results flow: BM25 top-k + the best highlight
+    window per hit, re-materialized as text — what a search UI renders.
+    Unlike `best_passage` (conjunctive docs), hits are ANY-match (BM25's
+    disjunctive semantics), so the window covers whichever query terms
+    the doc actually contains.
+
+    Cost shape: top-k first (k·|queries| rows), THEN positions — the
+    positional decode is joined down to the hit set before the window
+    self-join, and only k rows per query touch the text column.
+
+    Output: (qid, rank, doc_id, score, start, n_terms, n_occ, snippet)."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    hits = bm25_topk(index, queries, k=k)
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    occ = (
+        term_positions(index, terms)
+        .join(qterms, "term")
+        .join(hits.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi")
+    )
+    best = _best_windows(occ, width)
+    return (
+        hits.join(best, ["qid", "doc_id"])
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "qid", "rank", "doc_id", "score", "start", "n_terms", "n_occ",
+            F.array_join(
+                F.slice(tokens_col(F.col("text")), F.col("start"), width), " "
+            ).alias("snippet"),
+        )
     )
 
 

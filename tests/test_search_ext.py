@@ -443,3 +443,47 @@ def test_boolean_search_rejects_pure_negative(tiny_index, spark):
     )
     with pytest.raises(ValueError, match="pure-negative"):
         boolean_search(tiny_index, qdf)
+
+def test_ranked_snippets_vs_brute_force(spark, pos_index, docs_pdf, qdf,
+                                        queries):
+    from full_text_index_spark.query import ranked_snippets
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    doclen = {d: len(t) for d, t in toks.items()}
+    k, width = 5, 8
+
+    golden = []
+    for qid, terms in queries:
+        scores = _scores_for(terms, tf, df, doclen, avgdl, n)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-round(kv[1], RANK_ROUND), kv[0])
+        )[:k]
+        tset = sorted(set(terms))
+        for r, (d, s) in enumerate(ranked, 1):
+            occ = [(p + 1, t) for p, t in enumerate(toks[d]) if t in tset]
+            best = None
+            for start, _ in occ:
+                inside = [(p, t) for p, t in occ if start <= p < start + width]
+                key = (-len({t for _, t in inside}), -len(inside), start)
+                if best is None or key < best[0]:
+                    best = (key, start, len({t for _, t in inside}),
+                            len(inside))
+            snip = " ".join(toks[d][best[1] - 1: best[1] - 1 + width])
+            golden.append((qid, r, d, s, best[1], best[2], best[3], snip))
+    golden = pd.DataFrame(
+        golden, columns=["qid", "rank", "doc_id", "score", "start",
+                         "n_terms", "n_occ", "snippet"])
+    assert len(golden) > 0
+
+    docs_sdf = pos_index.doc_stats().select("doc_id", "url").join(
+        spark.createDataFrame(docs_pdf[["url", "text"]]), "url"
+    ).select("doc_id", "text")
+    got = (ranked_snippets(pos_index, docs_sdf, qdf, k=k, width=width)
+           .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    g = golden.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == g["doc_id"].tolist()
+    assert got["start"].tolist() == g["start"].tolist()
+    assert got["snippet"].tolist() == g["snippet"].tolist()
+    assert got["n_terms"].tolist() == g["n_terms"].tolist()
+    assert got["n_occ"].tolist() == g["n_occ"].tolist()
+    np.testing.assert_allclose(got["score"], g["score"], rtol=1e-9)
