@@ -51,6 +51,9 @@ OPS = [
     "passage_snippets",
     "suggest_terms",
     "spellcheck",
+    "facet_counts",
+    "boolean_search",
+    "ranked_snippets",
 ]
 
 
