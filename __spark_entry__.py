@@ -757,6 +757,26 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_search(idx, qdf).orderBy("qid", "doc_id")
 
 
+PHRASE_PREFIX_QUERIES = ["row sc", "slow fast ta", "cust", "dup zzzz",
+                         "zzzzqq"]
+PHRASE_PREFIX_EXPANSIONS = 50
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix: last token expanded against the dictionary
+    (cf-ranked, capped), batched positional slot-join."""
+    from full_text_index_spark.query import phrase_prefix_search
+
+    idx = _index_for(spark, sf_dir)
+    return (
+        phrase_prefix_search(idx, PHRASE_PREFIX_QUERIES,
+                             max_expansions=PHRASE_PREFIX_EXPANSIONS)
+        .select("phrase", "doc_id",
+                F.col("n_occurrences").cast("long").alias("n_occurrences"))
+        .orderBy("phrase", "doc_id")
+    )
+
+
 def _q_ranked_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k + best highlight window per hit (the search-UI flow)."""
     from full_text_index_spark.query import ranked_snippets
@@ -1244,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "boolean_search": _q_boolean_search,
         "ranked_snippets": _q_ranked_snippets,
+        "phrase_prefix": _q_phrase_prefix,
         "suggest_terms": _q_suggest_terms,
         "spellcheck": _q_spellcheck,
         "phrase_search": _q_phrase_search,
@@ -2020,6 +2041,44 @@ FROM hits h
 JOIN best b ON b.qid = h.qid AND b.doc_id = h.doc_id AND b.rn = 1
 JOIN tok_arrays t ON t.doc_id = h.doc_id
 ORDER BY qid, rank
+""".strip()
+
+    from full_text_index_spark.tokenizer import tokenize_py as _tokpy
+    pp_fixed, pp_pref = [], []
+    for p in PHRASE_PREFIX_QUERIES:
+        terms = _tokpy(p)
+        for i, t in enumerate(terms[:-1]):
+            pp_fixed.append(f"('{p}', {i}, '{t}', {len(terms)})")
+        pp_pref.append(
+            f"('{p}', {len(terms) - 1}, '{terms[-1]}', {len(terms)})")
+    sqls["phrase_prefix"] = f"""
+WITH {tok_pos_cte},
+dict AS (SELECT term, count(*)::BIGINT AS cf FROM tok_pos GROUP BY term),
+fixed(phrase, slot, term, n_slots) AS (VALUES {", ".join(pp_fixed)}),
+pref(phrase, slot, prefix, n_slots) AS (VALUES {", ".join(pp_pref)}),
+exp AS (
+  SELECT pref.phrase, pref.slot, d.term, pref.n_slots,
+         row_number() OVER (
+           PARTITION BY pref.phrase ORDER BY d.cf DESC, d.term ASC
+         ) AS xr
+  FROM pref JOIN dict d ON starts_with(d.term, pref.prefix)
+),
+slots AS (
+  SELECT phrase, slot, term, n_slots FROM fixed
+  UNION ALL
+  SELECT phrase, slot, term, n_slots FROM exp
+  WHERE xr <= {PHRASE_PREFIX_EXPANSIONS}
+),
+starts AS (
+  SELECT s.phrase, s.n_slots, tp.doc_id, tp.pos - s.slot AS p0,
+         count(DISTINCT s.slot) AS n_hit
+  FROM slots s JOIN tok_pos tp ON tp.term = s.term
+  GROUP BY s.phrase, s.n_slots, tp.doc_id, tp.pos - s.slot
+)
+SELECT phrase, doc_id, count(*)::BIGINT AS n_occurrences
+FROM starts WHERE n_hit = n_slots
+GROUP BY phrase, doc_id
+ORDER BY phrase, doc_id
 """.strip()
 
     boolx_vals = ", ".join(

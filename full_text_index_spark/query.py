@@ -786,6 +786,72 @@ def phrase_positions(index: InvertedIndex, phrases: list[str]) -> DataFrame:
     )
 
 
+def phrase_prefix_search(
+    index: InvertedIndex,
+    phrases: list[str],
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Phrase-prefix search (ES `match_phrase_prefix` — the query-box
+    autocomplete for phrases): the LAST token of each phrase is a prefix,
+    expanded against the vocab-sized dictionary to its top
+    ``max_expansions`` completions by (cf desc, term) — Lucene's
+    expansion cap, which bounds the decode no matter how promiscuous the
+    prefix — then matched with the same batched positional slot-join as
+    `phrase_positions`: the expansion terms all share the LAST slot, so a
+    start position matches when every fixed slot hits and ANY completion
+    sits at the end.  A prefix with no dictionary completion matches
+    nothing (the char-not-in-file posture).
+
+    Output: (phrase, doc_id, n_occurrences) — overlapping occurrences,
+    like phrase_positions."""
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    spark = index.spark
+    fixed_rows, prefix_rows = [], []
+    for p in phrases:
+        terms = tokenize_py(p)
+        if not terms:
+            raise ValueError(f"empty phrase: {p!r}")
+        for i, t in enumerate(terms[:-1]):
+            fixed_rows.append((p, i, t, len(terms)))
+        prefix_rows.append((p, len(terms) - 1, terms[-1], len(terms)))
+    prefixes = spark.createDataFrame(
+        prefix_rows, "phrase string, slot int, prefix string, n_slots int"
+    )
+    exp_w = Window.partitionBy("phrase").orderBy(
+        F.col("cf").desc(), F.col("term").asc()
+    )
+    expansions = (
+        index.term_stats().select("term", "cf")
+        .join(F.broadcast(prefixes),
+              F.col("term").startswith(F.col("prefix")))
+        .withColumn("xr", F.row_number().over(exp_w))
+        .where(F.col("xr") <= max_expansions)
+        .select("phrase", "slot", "term", "n_slots")
+    )
+    slots = expansions
+    if fixed_rows:
+        slots = spark.createDataFrame(
+            fixed_rows, "phrase string, slot int, term string, n_slots int"
+        ).unionByName(expansions)
+    slots_pd = slots.toPandas()  # ≤ |phrases|·(m + max_expansions) rows
+    all_terms = sorted(set(slots_pd["term"]))
+    tp = term_positions(index, all_terms)
+    starts = (
+        tp.join(F.broadcast(spark.createDataFrame(slots_pd)), "term")
+        .select(
+            "phrase", "n_slots", "doc_id", "slot",
+            (F.col("tpos") - F.col("slot")).alias("p0"),
+        )
+        .groupBy("phrase", "n_slots", "doc_id", "p0")
+        .agg(F.count_distinct("slot").alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_slots"))
+    )
+    return starts.groupBy("phrase", "doc_id").agg(
+        F.count("*").alias("n_occurrences")
+    )
+
+
 def boolean_and(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     """Conjunctive (AND) search: docs containing EVERY term of the query —
     posting-list intersection (the reference's multi-term count semantics,

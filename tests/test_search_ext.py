@@ -487,3 +487,89 @@ def test_ranked_snippets_vs_brute_force(spark, pos_index, docs_pdf, qdf,
     assert got["n_terms"].tolist() == g["n_terms"].tolist()
     assert got["n_occ"].tolist() == g["n_occ"].tolist()
     np.testing.assert_allclose(got["score"], g["score"], rtol=1e-9)
+
+def test_phrase_prefix_search_vs_brute_force(pos_index, docs_pdf):
+    from full_text_index_spark.query import phrase_prefix_search
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    cf: Counter = Counter()
+    for t in toks.values():
+        cf.update(t)
+    # a real bigram from the corpus: fixed term + 2-char prefix of follower
+    some = next(iter(sorted(toks)))
+    seq = toks[some]
+    t0, t1 = seq[0], seq[1]
+    phrases = [
+        f"{t0} {t1[:2]}",         # fixed + prefix (real bigram prefix)
+        t1[:2],                    # single-prefix phrase
+        f"{t0} zzzz",              # fixed exists, prefix expands to nothing
+        "zzzzqq",                  # no expansion at all
+    ]
+    me = 50
+
+    def expansions(prefix):
+        hits = sorted((t for t in cf if t.startswith(prefix)),
+                      key=lambda t: (-cf[t], t))[:me]
+        return set(hits)
+
+    golden = []
+    for p in phrases:
+        terms = tokenize_py(p)
+        fixed, prefix = terms[:-1], terms[-1]
+        exp = expansions(prefix)
+        if not exp:
+            continue
+        m = len(terms)
+        for d in sorted(toks):
+            seq_d = toks[d]
+            cnt = 0
+            for s in range(len(seq_d) - m + 1):
+                if all(seq_d[s + i] == t for i, t in enumerate(fixed)) \
+                        and seq_d[s + m - 1] in exp:
+                    cnt += 1
+            if cnt:
+                golden.append((p, d, cnt))
+    golden = pd.DataFrame(
+        golden, columns=["phrase", "doc_id", "n_occurrences"])
+    assert (golden["phrase"] == phrases[0]).any()
+    assert (golden["phrase"] == phrases[1]).any()
+    assert not (golden["phrase"] == phrases[2]).any()
+
+    got = (phrase_prefix_search(pos_index, phrases, max_expansions=me)
+           .toPandas().sort_values(["phrase", "doc_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_occurrences": "int64"}),
+        golden.sort_values(["phrase", "doc_id"]).reset_index(drop=True)
+        .astype({"n_occurrences": "int64"}),
+    )
+
+
+def test_phrase_prefix_expansion_cap(pos_index, docs_pdf):
+    """max_expansions=1 keeps only the highest-cf completion."""
+    from full_text_index_spark.query import phrase_prefix_search
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    cf: Counter = Counter()
+    for t in toks.values():
+        cf.update(t)
+    # a 1-char prefix with several completions
+    first_chars = Counter(t[0] for t in cf)
+    ch = first_chars.most_common(1)[0][0]
+    top = sorted((t for t in cf if t.startswith(ch)),
+                 key=lambda t: (-cf[t], t))[0]
+    golden = []
+    for d in sorted(toks):
+        cnt = sum(1 for t in toks[d] if t == top)
+        if cnt:
+            golden.append((ch, d, cnt))
+    golden = pd.DataFrame(
+        golden, columns=["phrase", "doc_id", "n_occurrences"])
+
+    got = (phrase_prefix_search(pos_index, [ch], max_expansions=1)
+           .toPandas().sort_values(["phrase", "doc_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_occurrences": "int64"}),
+        golden.astype({"n_occurrences": "int64"}),
+    )

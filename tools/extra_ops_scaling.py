@@ -54,6 +54,7 @@ OPS = [
     "facet_counts",
     "boolean_search",
     "ranked_snippets",
+    "phrase_prefix",
 ]
 
 
