@@ -695,11 +695,20 @@ def _lookup_blocks(row, cand: np.ndarray, cand_scores: np.ndarray,
 # count / locate / extract / display — the reference's four query classes
 # ---------------------------------------------------------------------------
 
-def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
+def term_positions(index: InvertedIndex, terms: list[str],
+                   within_docs=None) -> DataFrame:
     """Positional `locate` (reference: utils/interface.h:66 — occurrence
     positions): every (term, doc_id, tpos) with tpos the 1-based token
     position, decoded from the positional stream (requires an index built
-    with positions=True)."""
+    with positions=True).
+
+    ``within_docs`` (optional, iterable of doc ids): restrict to those
+    docs AND decode only the posting BLOCKS whose doc range can contain
+    one (block-directory searchsorted — the substring verify's access
+    pattern), so highlighting k hits of a head term costs blocks-touched,
+    not cf(term).  The set rides in the task closure: callers must pass
+    k-bounded hit sets (ranked_snippets' contract), never corpus-scale
+    filters — those belong in a join."""
     if not index.meta.get("positions"):
         raise ValueError("index was built without positions=True")
 
@@ -708,36 +717,91 @@ def term_positions(index: InvertedIndex, terms: list[str]) -> DataFrame:
     # time proportional to their length)
     matched = _matched_postings(index, list(terms))
 
+    docs_np = (
+        np.unique(np.asarray(list(within_docs), dtype=np.int64))
+        if within_docs is not None
+        else None
+    )
+
     def decode(iterator):
+        empty = pd.DataFrame(columns=["term", "doc_id", "tpos"])
         for pdf in iterator:
             outs = []
             for row in pdf.itertuples(index=False):
-                docs = decode_gaps(row.doc_blob)
-                tfs = varbyte_decode(row.tf_blob)
-                pg = varbyte_decode(row.pos_blob)
-                ends = np.cumsum(tfs)
-                cs = np.cumsum(pg)
-                base = np.concatenate(([0], cs[ends[:-1] - 1]))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": row.term,
-                            "doc_id": np.repeat(docs, tfs),
-                            "tpos": cs - np.repeat(base, tfs),
-                        }
+                if docs_np is None:
+                    docs = decode_gaps(row.doc_blob)
+                    tfs = varbyte_decode(row.tf_blob)
+                    pg = varbyte_decode(row.pos_blob)
+                    ends = np.cumsum(tfs)
+                    cs = np.cumsum(pg)
+                    base = np.concatenate(([0], cs[ends[:-1] - 1]))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": row.term,
+                                "doc_id": np.repeat(docs, tfs),
+                                "tpos": cs - np.repeat(base, tfs),
+                            }
+                        )
                     )
-                )
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame(columns=["term", "doc_id", "tpos"])
-            )
+                    continue
+                # block-targeted path: decode ONLY the blocks whose doc
+                # range can contain a probed doc (block directory
+                # searchsorted — the substring verify's access pattern);
+                # positions reconstruct block-locally because gaps reset
+                # at each posting start and blocks align with postings
+                block_last = np.asarray(row.block_last, dtype=np.int64)
+                doc_off = np.asarray(row.block_doc_off, dtype=np.int64)
+                tf_off = np.asarray(row.block_tf_off, dtype=np.int64)
+                pos_off = np.asarray(row.block_pos_off, dtype=np.int64)
+                doc_blob = np.frombuffer(row.doc_blob, np.uint8)
+                tf_blob = np.frombuffer(row.tf_blob, np.uint8)
+                pos_blob = np.frombuffer(row.pos_blob, np.uint8)
+                blk = np.searchsorted(block_last, docs_np, side="left")
+                blk = np.unique(blk[blk < len(block_last)])
+                for bi in blk:
+                    lo = doc_off[bi]
+                    hi = (doc_off[bi + 1] if bi + 1 < len(doc_off)
+                          else len(doc_blob))
+                    prev = block_last[bi - 1] if bi > 0 else -1
+                    docs = decode_gaps(doc_blob[lo:hi],
+                                       prev_last_doc=int(prev))
+                    tlo = tf_off[bi]
+                    thi = (tf_off[bi + 1] if bi + 1 < len(tf_off)
+                           else len(tf_blob))
+                    tfs = varbyte_decode(tf_blob[tlo:thi])
+                    plo = pos_off[bi]
+                    phi = (pos_off[bi + 1] if bi + 1 < len(pos_off)
+                           else len(pos_blob))
+                    pg = varbyte_decode(pos_blob[plo:phi])
+                    ends = np.cumsum(tfs)
+                    cs = np.cumsum(pg)
+                    base = np.concatenate(([0], cs[ends[:-1] - 1]))
+                    tpos = cs - np.repeat(base, tfs)
+                    docs_rep = np.repeat(docs, tfs)
+                    keep = np.isin(docs_rep, docs_np)
+                    if keep.any():
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "term": row.term,
+                                    "doc_id": docs_rep[keep],
+                                    "tpos": tpos[keep],
+                                }
+                            )
+                        )
+            yield pd.concat(outs, ignore_index=True) if outs else empty
+
+    cols = ["term", "doc_blob", "tf_blob", "pos_blob"]
+    if docs_np is not None:
+        cols += ["block_last", "block_doc_off", "block_tf_off",
+                 "block_pos_off"]
 
     from full_text_index_spark.deletes import mask_deleted
 
     return mask_deleted(
         index,
-        matched.select("term", "doc_blob", "tf_blob", "pos_blob").mapInPandas(
+        matched.select(*cols).mapInPandas(
             decode, schema="term string, doc_id long, tpos long"
         ),
     )
@@ -1156,10 +1220,19 @@ def ranked_snippets(
     qterms = queries.select(
         "qid", F.explode(F.array_distinct("terms")).alias("term")
     )
-    hits = bm25_topk(index, queries, k=k)
+    # top-k is k·|queries| rows — driver-resident by the same construction
+    # as the bm25 batch itself; materializing once (a) avoids re-running
+    # the scoring kernel for the positions semi-join and (b) hands the hit
+    # set to the positional decode, which then touches only the posting
+    # BLOCKS containing a hit (highlighting 10 docs of a head term costs
+    # blocks-touched, not cf)
+    hits_pd = bm25_topk(index, queries, k=k).toPandas()
+    hits = index.spark.createDataFrame(
+        hits_pd, "qid long, rank int, doc_id long, score double"
+    )
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
     occ = (
-        term_positions(index, terms)
+        term_positions(index, terms, within_docs=hits_pd["doc_id"].tolist())
         .join(qterms, "term")
         .join(hits.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi")
     )

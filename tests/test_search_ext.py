@@ -573,3 +573,22 @@ def test_phrase_prefix_expansion_cap(pos_index, docs_pdf):
         got.astype({"n_occurrences": "int64"}),
         golden.astype({"n_occurrences": "int64"}),
     )
+
+def test_term_positions_within_docs_differential(pos_index, docs_pdf,
+                                                 queries):
+    """Block-targeted filtered decode == full decode filtered afterwards,
+    including docs spanning block boundaries (fixture block_size=16) and
+    absent doc ids."""
+    from full_text_index_spark.query import term_positions
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    full = (term_positions(pos_index, terms).toPandas()
+            .sort_values(["term", "doc_id", "tpos"]).reset_index(drop=True))
+    some_docs = sorted(set(full["doc_id"]))[::7] + [10**12]  # + absent id
+    filt = (term_positions(pos_index, terms, within_docs=some_docs)
+            .toPandas().sort_values(["term", "doc_id", "tpos"])
+            .reset_index(drop=True))
+    expect = (full[full["doc_id"].isin(set(some_docs))]
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(filt, expect)
+    assert len(filt) > 0
