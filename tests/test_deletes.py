@@ -123,3 +123,48 @@ def test_tombstone_cap(del_setup, monkeypatch):
     monkeypatch.setattr(DEL, "MAX_TOMBSTONES", 3)
     with pytest.raises(ValueError, match="MAX_TOMBSTONES"):
         delete_docs(idx, [0, 1, 2, 4])
+
+
+def test_deletes_excluded_from_search_layer_ops(del_setup, spark):
+    """The round-4 search-layer ops all route through masked primitives
+    (_bm25_scored_exact / boolean_and / term_positions) — assert the
+    tombstone actually falls out of each result."""
+    from full_text_index_spark.query import (
+        boolean_search,
+        collapse_topk,
+        facet_counts,
+        ranked_snippets,
+        significant_terms,
+    )
+
+    idx, docs = del_setup
+    delete_docs(idx, [1, 4])
+    q = spark.createDataFrame([(0, ["alpha", "shared"])],
+                              "qid long, terms array<string>")
+    groups = docs.select(
+        "doc_id",
+        F.concat(F.lit("g"), (F.col("doc_id") % 2).cast("string"))
+        .alias("group"),
+    )
+    got = collapse_topk(idx, q, groups, k=10, per_group=10)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 2]
+
+    facets = groups.select("doc_id", F.col("group").alias("facet"))
+    fc = {(r["facet"]): r["n_docs"]
+          for r in facet_counts(idx, facets, q).collect()}
+    assert fc == {"g0": 2}  # docs 0 and 2; 1 and 4 tombstoned
+
+    st = significant_terms(idx, docs, q, k=50)
+    # fg set is {0, 2}: a term only in deleted docs can't appear
+    assert all(r["fg_df"] <= 2 for r in st.collect())
+
+    bq = spark.createDataFrame(
+        [(0, ["alpha"], [], ["different"])],
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    assert sorted(r["doc_id"] for r in boolean_search(idx, bq).collect()) \
+        == [0, 2]
+
+    rs = ranked_snippets(idx, docs, q, k=10, width=4)
+    assert sorted(r["doc_id"] for r in rs.collect()) == [0, 2]
