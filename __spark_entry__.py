@@ -1235,57 +1235,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order = driver-gate priority: the correctness driver checks the
+    # FIRST 50 dict entries, so entries with the fewest green driver rows come
+    # first.  Head: the 13 ops never driver-checked through r4, then the 10 not
+    # re-checked since r3 (ANN/textstats/multimodal family), then the 24 ops
+    # whose only green row is r4, then twice/thrice-green fillers.  The 23
+    # multiply-green core entries (4 rounds of green rows each) rotate past
+    # position 49; tools/parity_check.py still exercises all 73 every run.
     return {
-        "bm25_topk": _q_bm25,
-        "term_count": _q_term_count,
-        "term_locate": _q_term_locate,
-        "vocab_stats": _q_vocab_stats,
-        "doc_stats": _q_doc_stats,
-        "h0_entropy": _q_h0_entropy,
-        "hk_entropy": _q_hk_entropy,
-        "scan_count": _q_scan_count,
-        "substring_count": _q_substring_count,
-        "substring_count_short": _q_substring_count_short,
-        "substring_locate": _q_substring_locate,
-        "substring_locate_short": _q_substring_locate_short,
-        "display_substring": _q_display_substring,
-        "regex_search": _q_regex_search,
-        "near_search": _q_near_search,
-        "wildcard_search": _q_wildcard,
-        "substring_locate_ci": _q_substring_locate_ci,
-        "approx_locate": _q_approx_locate,
-        "approx_count": _q_approx_count,
-        "pii_redact": _q_pii_redact,
-        "boolean_and": _q_boolean_and,
-        "collapse_topk": _q_collapse_topk,
-        "significant_terms": _q_significant_terms,
-        "best_passage": _q_best_passage,
-        "passage_snippets": _q_passage_snippets,
-        "facet_counts": _q_facet_counts,
-        "boolean_search": _q_boolean_search,
-        "ranked_snippets": _q_ranked_snippets,
-        "phrase_prefix": _q_phrase_prefix,
-        "suggest_terms": _q_suggest_terms,
-        "spellcheck": _q_spellcheck,
-        "phrase_search": _q_phrase_search,
-        "phrase_positions": _q_phrase_positions,
-        "term_positions": _q_term_positions,
-        "extract_intervals": _q_extract,
-        "extract_flat": _q_extract_flat,
-        "display_snippets": _q_display,
-        "display_all_occurrences": _q_display_all,
-        "index_segment_stats": _q_segment_stats,
-        "sql_match": _q_sql_match,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_containment": _q_containment,
-        "dedup_minhash_signatures": _q_minhash_sig,
-        "dedup_minhash_pairs": _q_minhash_pairs,
-        "dedup_simhash": _q_simhash,
-        "dedup_components": _q_dedup_components,
-        "train_split": _q_hash_split,
-        "quota_sample": _q_quota_sample,
-        "boilerplate_strip": _q_boilerplate,
+        # -- never driver-checked (r1-r4) -----------------------------------
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "more_like_this": _q_more_like_this,
@@ -1293,6 +1251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_substring_locate": _q_delete_substring_locate,
         "length_profile": _q_length_profile,
         "repetition_stats": _q_repetition,
+        "multimodal_resample": _q_multimodal_resample,
+        "windowed_events": _q_windowed_events,
+        "user_sessions": _q_user_sessions,
+        "curation_pipeline": _q_curation,
+        "asof_click_purchase": _q_asof,
+        "range_count_clicks": _q_range_join,
+        # -- last driver-checked r3 (or r2) ---------------------------------
         "dedup_embedding_pairs": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1303,12 +1268,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal,
-        "multimodal_resample": _q_multimodal_resample,
-        "windowed_events": _q_windowed_events,
-        "user_sessions": _q_user_sessions,
-        "curation_pipeline": _q_curation,
-        "asof_click_purchase": _q_asof,
-        "range_count_clicks": _q_range_join,
+        # -- single green row (r4 only) -------------------------------------
+        "regex_search": _q_regex_search,
+        "near_search": _q_near_search,
+        "wildcard_search": _q_wildcard,
+        "substring_locate_ci": _q_substring_locate_ci,
+        "approx_locate": _q_approx_locate,
+        "approx_count": _q_approx_count,
+        "pii_redact": _q_pii_redact,
+        "collapse_topk": _q_collapse_topk,
+        "significant_terms": _q_significant_terms,
+        "best_passage": _q_best_passage,
+        "passage_snippets": _q_passage_snippets,
+        "facet_counts": _q_facet_counts,
+        "boolean_search": _q_boolean_search,
+        "ranked_snippets": _q_ranked_snippets,
+        "phrase_prefix": _q_phrase_prefix,
+        "suggest_terms": _q_suggest_terms,
+        "spellcheck": _q_spellcheck,
+        "sql_match": _q_sql_match,
+        "dedup_containment": _q_containment,
+        "dedup_components": _q_dedup_components,
+        "train_split": _q_hash_split,
+        "quota_sample": _q_quota_sample,
+        "boilerplate_strip": _q_boilerplate,
+        "substring_locate_short": _q_substring_locate_short,
+        # -- twice/thrice-green fillers to round out the first 50 ------------
+        "display_substring": _q_display_substring,
+        "substring_count_short": _q_substring_count_short,
+        "substring_locate": _q_substring_locate,
+        # ==== position 50+: multiply-green core, rotated out of the gate ====
+        "bm25_topk": _q_bm25,
+        "term_count": _q_term_count,
+        "term_locate": _q_term_locate,
+        "vocab_stats": _q_vocab_stats,
+        "doc_stats": _q_doc_stats,
+        "h0_entropy": _q_h0_entropy,
+        "hk_entropy": _q_hk_entropy,
+        "scan_count": _q_scan_count,
+        "substring_count": _q_substring_count,
+        "phrase_search": _q_phrase_search,
+        "phrase_positions": _q_phrase_positions,
+        "term_positions": _q_term_positions,
+        "extract_intervals": _q_extract,
+        "extract_flat": _q_extract_flat,
+        "display_snippets": _q_display,
+        "display_all_occurrences": _q_display_all,
+        "index_segment_stats": _q_segment_stats,
+        "boolean_and": _q_boolean_and,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_signatures": _q_minhash_sig,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash": _q_simhash,
     }
 
 

@@ -900,9 +900,16 @@ def phrase_prefix_search(
         ).unionByName(expansions)
     slots_pd = slots.toPandas()  # ≤ |phrases|·(m + max_expansions) rows
     all_terms = sorted(set(slots_pd["term"]))
+    # explicit schema: slots_pd can be EMPTY (every phrase a single-token
+    # prefix with no dictionary completion) and an empty pandas frame has no
+    # inferable types — "no completion matches nothing" must return 0 rows,
+    # not CANNOT_INFER_EMPTY_SCHEMA (ADVICE r04).
+    slots_df = spark.createDataFrame(
+        slots_pd, "phrase string, slot int, term string, n_slots int"
+    )
     tp = term_positions(index, all_terms)
     starts = (
-        tp.join(F.broadcast(spark.createDataFrame(slots_pd)), "term")
+        tp.join(F.broadcast(slots_df), "term")
         .select(
             "phrase", "n_slots", "doc_id", "slot",
             (F.col("tpos") - F.col("slot")).alias("p0"),
@@ -1063,13 +1070,18 @@ def collapse_topk(
     (doc_id, group)` joins on doc_id behind the same shuffle.
 
     Output: (qid, rank, doc_id, group, score), rank 1..k, tie-break
-    (round(score, 6) desc, doc_id asc) at BOTH windows."""
+    (round(score, 6) desc, doc_id asc) at BOTH windows.
+
+    Docs ABSENT from ``doc_groups`` are kept, collapsed together under a
+    NULL group (Elasticsearch semantics: a missing collapse field does not
+    exclude the doc from results — ADVICE r04), so doc_groups need not
+    cover the corpus."""
     qterms = (
         queries.select("qid", F.explode(F.array_distinct("terms")).alias("term"))
         .join(F.broadcast(index.term_stats().select("term", "idf")), "term")
     )
     scored = _bm25_scored_exact(index, qterms).join(
-        doc_groups.select("doc_id", "group"), "doc_id"
+        doc_groups.select("doc_id", "group"), "doc_id", "left"
     )
     order = [F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()]
     in_group = Window.partitionBy("qid", "group").orderBy(*order)
@@ -1368,6 +1380,14 @@ def boolean_search(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     should terms present (the coordination factor a ranker would use)."""
     from full_text_index_spark.deletes import mask_deleted
 
+    # NULL role arrays behave like [] everywhere below: size(NULL) is -1,
+    # so an un-coalesced null must/should row would BYPASS the pure-negative
+    # guard and then silently match nothing (must_hit == -1) — ADVICE r04.
+    for role in ("must", "should", "must_not"):
+        queries = queries.withColumn(
+            role,
+            F.coalesce(F.col(role), F.expr("cast(array() as array<string>)")),
+        )
     roles = []
     for role in ("must", "should", "must_not"):
         roles.append(

@@ -592,3 +592,95 @@ def test_term_positions_within_docs_differential(pos_index, docs_pdf,
               .reset_index(drop=True))
     pd.testing.assert_frame_equal(filt, expect)
     assert len(filt) > 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r04 regression tests
+# ---------------------------------------------------------------------------
+
+def test_phrase_prefix_all_dead_prefixes_returns_empty(pos_index):
+    """A batch where EVERY phrase is a single-token prefix with no
+    dictionary completion must return an empty frame, not raise
+    CANNOT_INFER_EMPTY_SCHEMA on the empty slots table (ADVICE r04)."""
+    from full_text_index_spark.query import phrase_prefix_search
+
+    got = phrase_prefix_search(pos_index, ["zzzzqq", "qqzzy"]).toPandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["phrase", "doc_id", "n_occurrences"]
+
+
+def test_collapse_topk_keeps_ungrouped_docs(tiny_index, docs_pdf, qdf,
+                                            queries):
+    """Docs absent from doc_groups collapse under a NULL group instead of
+    vanishing from results (Elasticsearch missing-collapse-field
+    semantics, ADVICE r04)."""
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    doclen = {d: len(t) for d, t in toks.items()}
+    k, per_group = 10, 2
+
+    golden = []
+    for qid, terms in queries:
+        scores = _scores_for(terms, tf, df, doclen, avgdl, n)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-round(kv[1], RANK_ROUND), kv[0])
+        )
+        kept, per_g = [], Counter()
+        for d, s in ranked:
+            # odd docs are ungrouped -> ES null group (one shared bucket)
+            g = _group_of(d) if d % 2 == 0 else None
+            if per_g[g] < per_group:
+                per_g[g] += 1
+                kept.append((d, g, s))
+        for r, (d, g, s) in enumerate(kept[:k], start=1):
+            golden.append((qid, r, d, g, s))
+    golden = pd.DataFrame(
+        golden, columns=["qid", "rank", "doc_id", "group", "score"]
+    )
+    assert golden["group"].isna().any()   # the fixture exercises the branch
+
+    groups = (
+        tiny_index.doc_stats()
+        .where(F.col("doc_id") % 2 == 0)   # odd docs intentionally missing
+        .select(
+            "doc_id",
+            F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string"))
+            .alias("group"),
+        )
+    )
+    got = (
+        collapse_topk(tiny_index, qdf, groups, k=k, per_group=per_group)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    assert [g if pd.notna(g) else None for g in got["group"]] == \
+        golden["group"].where(golden["group"].notna(), None).tolist()
+    np.testing.assert_allclose(got["score"], golden["score"], rtol=1e-9)
+
+
+def test_boolean_search_null_role_arrays(tiny_index, docs_pdf, spark):
+    """NULL role arrays behave exactly like [] (ADVICE r04): a null-must
+    query with should terms matches, and null must AND should still
+    raises the pure-negative error."""
+    from full_text_index_spark.query import boolean_search
+
+    toks, tf, df, avgdl, n = _all_scores(docs_pdf)
+    by_rank = [t for t, _ in Counter(
+        {t: c for t, c in df.items()}).most_common()]
+    a = by_rank[0]
+
+    qdf = spark.createDataFrame(
+        [(0, None, [a], None)],
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    got = boolean_search(tiny_index, qdf).toPandas()
+    expect = sorted(d for d, c in tf.items() if a in c)
+    assert sorted(got["doc_id"]) == expect
+
+    bad = spark.createDataFrame(
+        [(1, None, None, [a])],
+        "qid long, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    with pytest.raises(ValueError, match="pure-negative"):
+        boolean_search(tiny_index, bad)
