@@ -656,11 +656,20 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
         for s in covers[p]:
             if s != cand_slot[p]:
                 est_rarest += min(cf[windows[p][s]], cand_cf * block)
+    if stats is not None:
+        # chooser diagnostics (VERDICT r04 #2): which plan ran and why —
+        # lets a single bench shot adjudicate host-burst vs engine choice
+        stats["all_cf"] = int(all_cf)
+        stats["est_rarest_cf"] = int(est_rarest)
     if plan == "auto" and (
         all_cf <= ALLJOIN_CHEAP_CF
         or est_rarest * RAREST_WIN_FACTOR > all_cf
     ):
+        if stats is not None:
+            stats["plan"] = "alljoin"
         return _locate_via_all_windows(index, patterns)
+    if stats is not None:
+        stats["plan"] = "rarest"
 
     cand_slots_df = spark.createDataFrame(
         [(p, cand_slot[p], windows[p][cand_slot[p]]) for p in live],
@@ -893,13 +902,15 @@ def _locate_any(index: InvertedIndex, patterns: list[str]) -> DataFrame:
     return out
 
 
-def substring_count(index: InvertedIndex, patterns: list[str]) -> DataFrame:
+def substring_count(index: InvertedIndex, patterns: list[str],
+                    *, stats: dict | None = None) -> DataFrame:
     """`count` for arbitrary substrings (reference: utils/interface.h:59):
     (pattern, n_docs_matching, n_occurrences) with OVERLAPPING occurrence
     counting; absent patterns report zeros.  Patterns shorter than the gram
     size route to the short-gram stats table (a lookup), everything else to
     the positional gram index — any length is answered from the index, like
-    the reference."""
+    the reference.  ``stats`` forwards to substring_locate's chooser
+    diagnostics (plan, cf estimates, decoded bytes)."""
     patterns = list(dict.fromkeys(patterns))
     k = _gram_k(index)
     spark = index.spark
@@ -927,7 +938,9 @@ def substring_count(index: InvertedIndex, patterns: list[str]) -> DataFrame:
         )
     if longp:
         pdf = spark.createDataFrame([(p,) for p in longp], "pattern string")
-        parts.append(_count_from_locate(substring_locate(index, longp), pdf))
+        parts.append(_count_from_locate(
+            substring_locate(index, longp, stats=stats), pdf
+        ))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
