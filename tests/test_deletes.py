@@ -116,13 +116,46 @@ def test_compact_reclaims_and_refreshes_stats(del_setup, spark, tmp_path):
     assert "there" not in terms
 
 
-def test_tombstone_cap(del_setup, monkeypatch):
+def test_tombstones_distributed_past_old_cap(del_setup, spark):
+    """>2M tombstones (the old driver-closure cap) work end to end: the
+    set is merged/stored as DataFrames, the BM25 kernel receives it as
+    per-segment blob rows, and results still exclude exactly the deleted
+    live docs (VERDICT r04 #3)."""
     idx, _ = del_setup
-    import full_text_index_spark.deletes as DEL
+    # 2.5M ids: docs 1 and 4 (live) plus 2 499 998 absent ids — absent
+    # tombstones must be no-ops in every path
+    big = spark.range(1_000_000, 3_499_998).withColumnRenamed("id", "doc_id")
+    ids = big.union(spark.createDataFrame([(1,), (4,)], "doc_id long"))
+    n = delete_docs(idx, ids)
+    assert n == 2_500_000
+    # replay is idempotent at this size too
+    assert delete_docs(idx, [1, 4]) == 2_500_000
+    assert _bm25_docs(idx, spark) == [0, 2]                      # kernel path
+    assert _bm25_docs(idx, spark, use_blockmax=False) == [0, 2]  # join path
+    got = sorted(r["doc_id"] for r in term_locate(idx, ["alpha"]).collect())
+    assert got == [0, 2]
 
-    monkeypatch.setattr(DEL, "MAX_TOMBSTONES", 3)
-    with pytest.raises(ValueError, match="MAX_TOMBSTONES"):
-        delete_docs(idx, [0, 1, 2, 4])
+
+def test_tombstone_segment_blobs_round_trip(del_setup):
+    """The per-segment blob rows decode back to exactly the stored set,
+    partitioned by the build's pmod(doc_id, n_segments) rule."""
+    import numpy as np
+
+    from full_text_index_spark.codec import decode_gaps
+    from full_text_index_spark.deletes import tombstone_segment_blobs
+
+    idx, _ = del_setup
+    assert tombstone_segment_blobs(idx) is None
+    delete_docs(idx, [0, 1, 4])
+    rows = {r["segment"]: decode_gaps(bytes(r["doc_blob"]))
+            for r in tombstone_segment_blobs(idx).collect()}
+    nseg = int(idx.meta["n_segments"])
+    expect: dict[int, list[int]] = {}
+    for d in (0, 1, 4):
+        expect.setdefault(d % nseg, []).append(d)
+    assert set(rows) == set(expect)
+    for seg, ids in expect.items():
+        assert rows[seg].tolist() == sorted(ids)
 
 
 def test_deletes_excluded_from_search_layer_ops(del_setup, spark):
