@@ -54,9 +54,79 @@ def _codepoints(s: str) -> np.ndarray:
 
 def approx_positions_np(pattern: str, text: str, e: int) -> np.ndarray:
     """1-based start positions of approximate occurrences of ``pattern``
-    in ``text`` (edit distance <= e, window semantics above).  One DP over
-    all windows at once: rows are pattern chars, columns are window prefix
-    lengths, vectorized across the n start positions."""
+    in ``text`` (edit distance <= e, window semantics above).
+
+    Dispatch (VERDICT r04 #5): the BANDED O(e·m) sweep with row
+    early-exit for the common small-e case; the band-free full-width DP
+    only when the band degenerates (e >= m) — both produce identical
+    hit sets (fuzz-asserted in tests/test_approx.py)."""
+    if 0 <= e < len(pattern):
+        return _approx_positions_banded(pattern, text, e)
+    return approx_positions_full_np(pattern, text, e)
+
+
+def _approx_positions_banded(pattern: str, text: str, e: int) -> np.ndarray:
+    """Banded window DP: lev(window_prefix_j, pattern_prefix_r) >= |j-r|,
+    so only the 2e+1 diagonals |j-r| <= e can ever stay <= e — each DP
+    row touches O(e) vectorized columns instead of m+e+1, and a start
+    whose whole band exceeds e is dropped immediately (row minima of the
+    Levenshtein matrix are non-decreasing, and off-band cells are > e by
+    the diagonal bound, so no dropped start can recover)."""
+    m = len(pattern)
+    n = len(text)
+    if n == 0 or m == 0:
+        return np.empty(0, dtype=np.int64)
+    arr = _codepoints(text)
+    pat = _codepoints(pattern)
+    starts = np.arange(n, dtype=np.int64)
+    width = 2 * e + 1
+    INF = np.int32(2 ** 30)
+    # band[:, d] = D[r][j] with j = r + (d - e); row 0: D[0][j] = j
+    band = np.empty((n, width), dtype=np.int32)
+    for d in range(width):
+        j = d - e
+        band[:, d] = j if j >= 0 else INF
+    for r in range(1, m + 1):
+        pc = pat[r - 1]
+        cur = np.empty((len(starts), width), dtype=np.int32)
+        for d in range(width):
+            j = r + (d - e)
+            if j < 0:
+                cur[:, d] = INF
+                continue
+            # window char j is text[start + j - 1]; past-the-end chars get
+            # the 0 sentinel (always a mismatch), matching the full DP
+            ti = starts + (j - 1)
+            tchars = np.where(ti < n, arr[np.minimum(ti, n - 1)],
+                              np.uint32(0))
+            v = band[:, d] + (tchars != pc).astype(np.int32)  # diag
+            if d + 1 < width:
+                v = np.minimum(v, band[:, d + 1] + 1)          # delete
+            if d > 0:
+                v = np.minimum(v, cur[:, d - 1] + 1)           # insert
+            cur[:, d] = v
+        band = cur
+        alive = band.min(axis=1) <= e
+        if not alive.all():
+            if not alive.any():
+                return np.empty(0, dtype=np.int64)
+            band = band[alive]
+            starts = starts[alive]
+    # final row: j = m + (d - e), valid while j <= avail (truncated tails
+    # with avail < m-e cannot match: lev >= m - avail > e)
+    avail = np.minimum(np.int32(m + e),
+                       (n - starts).astype(np.int32))
+    offs = np.arange(width, dtype=np.int32) - e
+    j_ok = (m + offs)[None, :] <= avail[:, None]
+    best = np.where(j_ok, band, INF).min(axis=1)
+    return (starts[best <= e] + 1).astype(np.int64)
+
+
+def approx_positions_full_np(pattern: str, text: str, e: int) -> np.ndarray:
+    """Band-free reference DP (kept as the banded kernel's differential
+    oracle and the e >= m fallback).  One DP over all windows at once:
+    rows are pattern chars, columns are window prefix lengths, vectorized
+    across the n start positions."""
     m = len(pattern)
     n = len(text)
     if n == 0 or m == 0:

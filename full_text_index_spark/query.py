@@ -1199,11 +1199,10 @@ def best_passage(
     entirely inside the positional index (no text access).
 
     The optimal window can always be anchored at an occurrence, so
-    candidates are (start = each occurrence position); occurrences
-    self-join within [start, start+width) behind an equi-join on
-    (qid, doc_id) — fan-out per doc is (Σ tf_q)², bounded by the doc's
-    query-term frequencies, never corpus size.  Docs = conjunctive
-    matches (`boolean_and`), the docs a snippet is owed for.
+    candidates are (start = each occurrence position), evaluated by the
+    LINEAR sorted-positions sweep in `_best_windows` — cost per doc is
+    O(Σ tf_q log Σ tf_q), never quadratic in occurrences.  Docs =
+    conjunctive matches (`boolean_and`), the docs a snippet is owed for.
 
     Output: (qid, doc_id, start, n_terms, n_occ)."""
     qterms = queries.select(
@@ -1222,23 +1221,55 @@ def best_passage(
 def _best_windows(occ: DataFrame, width: int) -> DataFrame:
     """Winning window per (qid, doc) from ``occ(qid, doc_id, term, tpos)``:
     anchor at each occurrence, count distinct terms / total occurrences in
-    [start, start+width), tie-break (n_terms desc, n_occ desc, start)."""
-    anchors = occ.select("qid", "doc_id", F.col("tpos").alias("start")).distinct()
-    cand = (
-        anchors.join(occ, ["qid", "doc_id"])
-        .where((F.col("tpos") >= F.col("start"))
-               & (F.col("tpos") < F.col("start") + width))
-        .groupBy("qid", "doc_id", "start")
-        .agg(F.countDistinct("term").alias("n_terms"),
-             F.count(F.lit(1)).alias("n_occ"))
-    )
-    w = Window.partitionBy("qid", "doc_id").orderBy(
-        F.col("n_terms").desc(), F.col("n_occ").desc(), F.col("start").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("qid", "doc_id", "start", "n_terms", "n_occ")
+    [start, start+width), tie-break (n_terms desc, n_occ desc, start).
+
+    LINEAR in the doc's query-term occurrences (VERDICT r04 #4): a
+    vectorized sorted-positions sweep replaces the old anchors×occurrences
+    self-join, whose (Σ tf_q)² fan-out put 10⁸ rows in one group for a
+    pathological doc with tf≈10⁴ of a query term.  Per anchor k,
+    n_occ = searchsorted(pos, pos+width) − k, and n_terms comes from a
+    difference array: occurrence k is the FIRST of its term inside every
+    window whose start lies in (max(pos[k]−width, prev_same_term[k]),
+    pos[k]] — three searchsorteds and one cumsum, no Python loop over
+    occurrences."""
+    _i64min = np.iinfo(np.int64).min
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = pdf["tpos"].to_numpy(dtype=np.int64)
+        codes = pd.factorize(pdf["term"])[0].astype(np.int64)
+        order = np.argsort(pos, kind="stable")
+        pos, codes = pos[order], codes[order]
+        n = len(pos)
+        # previous occurrence position of the same term (or -inf): pos is
+        # sorted, so a stable sort by code keeps per-term position order
+        byterm = np.argsort(codes, kind="stable")
+        c_s, p_s = codes[byterm], pos[byterm]
+        prev_s = np.full(n, _i64min, dtype=np.int64)
+        same = np.flatnonzero(c_s[1:] == c_s[:-1]) + 1
+        prev_s[same] = p_s[same - 1]
+        prev = np.empty(n, dtype=np.int64)
+        prev[byterm] = prev_s
+        ends = np.searchsorted(pos, pos + width, side="left")
+        n_occ = ends - np.arange(n)
+        lo = np.searchsorted(pos, np.maximum(pos - width, prev), side="right")
+        hi = np.searchsorted(pos, pos, side="right")
+        add = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(add, lo, 1)
+        np.add.at(add, hi, -1)
+        n_terms = np.cumsum(add[:-1])
+        best = int(np.lexsort((pos, -n_occ, -n_terms))[0])
+        return pd.DataFrame(
+            {
+                "qid": [pdf["qid"].iloc[0]],
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "start": [pos[best]],
+                "n_terms": [n_terms[best]],
+                "n_occ": [n_occ[best]],
+            }
+        )
+
+    return occ.groupBy("qid", "doc_id").applyInPandas(
+        kern, "qid long, doc_id long, start long, n_terms long, n_occ long"
     )
 
 

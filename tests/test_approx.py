@@ -151,3 +151,26 @@ def test_e0_equals_exact_substring(setup):
             if pos:
                 want[(p, i)] = set(pos)
     assert got == want
+
+
+def test_banded_equals_full_dp_fuzz():
+    """The banded O(e·m) kernel and the band-free full DP must emit
+    identical hit sets, including e >= m degeneracy, truncated tails and
+    the early-exit path (VERDICT r04 #5)."""
+    from full_text_index_spark.approx import (
+        _approx_positions_banded,
+        approx_positions_full_np,
+    )
+
+    rng = random.Random(77)
+    for _ in range(300):
+        alpha = rng.choice(["ab", "abc", "abcdef"])
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        pat = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+        e = rng.randint(0, 3)
+        full = approx_positions_full_np(pat, text, e).tolist()
+        if e < len(pat):
+            banded = _approx_positions_banded(pat, text, e).tolist()
+            assert banded == full, (pat, text, e)
+        got = approx_positions_np(pat, text, e).tolist()
+        assert got == full, (pat, text, e)

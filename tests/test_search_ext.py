@@ -684,3 +684,38 @@ def test_boolean_search_null_role_arrays(tiny_index, docs_pdf, spark):
     )
     with pytest.raises(ValueError, match="pure-negative"):
         boolean_search(tiny_index, bad)
+
+
+def test_best_windows_linear_on_pathological_tf(spark, tmp_path):
+    """One doc with tf≈10⁴ of a query term must NOT create a quadratic
+    (10⁸-row) group (VERDICT r04 #4 — the old anchors×occurrences
+    self-join did).  The linear sweep finishes fast and still picks the
+    analytically-known best window."""
+    import time as _time
+
+    from full_text_index_spark.query import best_passage
+
+    N, W = 10_000, 16
+    text = "alpha " * N + "beta " + "alpha " * 10
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "url": ["u://0", "u://1"],
+        "text": [text.strip(), "alpha beta gamma"],
+    })
+    root = str(tmp_path / "skewidx")
+    build_index(spark, prepare_corpus(spark.createDataFrame(pdf)), root,
+                n_segments=2, block_size=64, positions=True)
+    idx = InvertedIndex.open(spark, root)
+    q = spark.createDataFrame([(0, ["alpha", "beta"])],
+                              "qid long, terms array<string>")
+    t0 = _time.perf_counter()
+    got = {r["doc_id"]: r for r in best_passage(idx, q, width=W).collect()}
+    wall = _time.perf_counter() - t0
+    # alpha at tpos 1..N, beta at N+1, alpha at N+2..N+11: every window
+    # containing beta has n_terms=2 and n_occ=W (all positions occupied);
+    # smallest such start is N+1-(W-1)
+    assert got[0]["start"] == N + 1 - (W - 1)
+    assert got[0]["n_terms"] == 2
+    assert got[0]["n_occ"] == W
+    assert got[1]["start"] == 1 and got[1]["n_terms"] == 2
+    assert wall < 60, f"pathological-tf best_passage took {wall:.1f}s"
