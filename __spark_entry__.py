@@ -1642,7 +1642,8 @@ SELECT h.pattern, h.doc_id,
        )::BIGINT AS occ_idx,
        h.cpos::BIGINT AS cpos,
        substr(d.text, greatest(h.cpos - 25, 1),
-              length(h.pattern) + 50) AS snippet
+              h.cpos + length(h.pattern) + 25
+              - greatest(h.cpos - 25, 1)) AS snippet
 FROM hits h JOIN documents d ON d.doc_id = h.doc_id
 ORDER BY h.pattern, h.doc_id, occ_idx
 """.strip()

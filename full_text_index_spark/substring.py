@@ -966,6 +966,12 @@ def display_substring(
     hits = _locate_any(index, patterns)
     w = Window.partitionBy("pattern", "doc_id").orderBy("cpos")
     plen = F.length("pattern")
+    # each context side clamps INDEPENDENTLY (sau display, SAu.c:348-371:
+    # to = min(x+length+numc-1, n-1)): a left-clamped occurrence must NOT
+    # borrow the unused budget as extra right context — diffed byte-exact
+    # against the compiled reference's `run_queries D ... V` output
+    start1 = F.greatest(F.col("cpos") - numc, F.lit(1))
+    snip_len = F.col("cpos") + plen + numc - start1
     return (
         hits.join(corpus.select("doc_id", "text"), "doc_id")
         .select(
@@ -973,9 +979,7 @@ def display_substring(
             F.row_number().over(w).cast("long").alias("occ_idx"),
             F.col("cpos").cast("long").alias("cpos"),
             F.substring(
-                F.col("text"),
-                F.greatest(F.col("cpos") - numc, F.lit(1)).cast("int"),
-                plen + 2 * numc,
+                F.col("text"), start1.cast("int"), snip_len.cast("int")
             ).alias("snippet"),
         )
     )

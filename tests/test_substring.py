@@ -276,7 +276,9 @@ def test_display_substring(gram_setup):
         assert sorted(o for o, _, _ in occs) == list(range(1, len(occs) + 1))
         for _, cpos, snip in occs:
             lo = max(cpos - 5, 1)
-            assert snip == TEXTS[d][lo - 1:lo - 1 + len(p) + 10]
+            # independent-side clamp (sau SAu.c:348-371): right edge is
+            # cpos+plen+numc-1 regardless of how the left side clamped
+            assert snip == TEXTS[d][lo - 1:cpos - 1 + len(p) + 5]
 
 
 def test_rarest_plan_randomized_differential(spark, tmp_path):

@@ -139,6 +139,44 @@ def parse_verbose(blob: bytes, with_positions: bool):
     return kind, out
 
 
+def parse_extract_verbose(blob: bytes) -> list[tuple[int, bytes]]:
+    """run_queries E -V binary stdout (run_queries.c:363-367: ulong from,
+    ulong readen, readen bytes per interval, in file order) →
+    [(from, text_bytes), ...]."""
+    assert blob[0:1] == b"E", blob[0:1]
+    off, out = 1, []
+    while off < len(blob):
+        frm, readen = struct.unpack_from("<QQ", blob, off)
+        off += 16
+        out.append((frm, blob[off:off + readen]))
+        off += readen
+    return out
+
+
+def parse_display_verbose(blob: bytes) -> dict[str, list[bytes]]:
+    """run_queries D -V binary stdout (run_queries.c:270-284: ulong
+    length, pattern, ulong numocc, ulong len=length+2*numc, then numocc
+    snippets each snippet_len[i] real bytes zero-padded to len) →
+    {pattern: [snippet, ...]} with the padding stripped (the fixture
+    corpus contains no NUL bytes, so trailing NULs are always padding)."""
+    assert blob[0:1] == b"D", blob[0:1]
+    off = 1
+    out: dict[str, list[bytes]] = {}
+    while off < len(blob):
+        (length,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        pat = blob[off:off + length].decode("utf-8")
+        off += length
+        numocc, slot = struct.unpack_from("<QQ", blob, off)
+        off += 16
+        snips = []
+        for _ in range(numocc):
+            snips.append(blob[off:off + slot].rstrip(b"\x00"))
+            off += slot
+        out.setdefault(pat, []).extend(snips)
+    return out
+
+
 def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
                    npat: int = 60) -> int:
     """Returns the number of mismatching patterns (0 = pass)."""
@@ -256,6 +294,108 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
                 print(f"POSITIONS MISMATCH {p!r}: "
                       f"engine={sorted(eng_pos[p])[:5]}... "
                       f"reference={ref_pos.get(p, [])[:5]}...")
+
+        # ------ E (extract) + D (display) vs the reference binary --------
+        # Both run over a SEPARATOR-LESS flat text: extract's offsets and
+        # display's snippet windows are defined on the index's own byte
+        # domain (run_queries.c:336-383,236-304), and the engine's flat
+        # domain (doc_offsets) concatenates texts with no separator, so
+        # the two sides see byte-identical universes.
+        from full_text_index_spark.substring import display_substring
+        from full_text_index_spark.workload import (
+            extract_flat_intervals,
+            gen_intervals,
+            write_intervals_file,
+        )
+
+        blob2 = b"".join(r["text"].encode("utf-8") for r in rows)
+        n2 = len(blob2)
+        flat2 = os.path.join(work, "corpus_nosep.txt")
+        with open(flat2, "wb") as fh:
+            fh.write(blob2)
+        subprocess.run(
+            [os.path.join(utils, "build_index"), flat2, flat2],
+            check=True, capture_output=True,
+        )
+
+        # E: random intervals + deliberate edge cases (tail clamp to n-1,
+        # from past the end → empty) — run_queries clamps, we must too
+        ivls = gen_intervals(n2, 20, 30, seed=55)
+        ivls += [(n2 - 5, n2 + 14), (0, 9), (n2 + 3, n2 + 10)]
+        ivl_path = os.path.join(work, "intervals")
+        write_intervals_file(ivl_path, ivls, source_file="corpus_nosep.txt")
+        with open(ivl_path, "rb") as fh:
+            ivl_bytes = fh.read()
+        re_ = subprocess.run(
+            [os.path.join(utils, "run_queries"), flat2, "E", "V"],
+            input=ivl_bytes, capture_output=True, check=True,
+        )
+        ref_ext = parse_extract_verbose(re_.stdout)
+        eng_ext = {
+            int(r["ivl_id"]): bytes(r["snippet"])
+            for r in extract_flat_intervals(docs, ivls, unit="bytes")
+            .collect()
+        }
+        assert len(ref_ext) == len(ivls)
+        for i, (a, b) in enumerate(ivls):
+            ref_from, ref_text = ref_ext[i]
+            got = eng_ext.get(i, b"")   # no row = empty extract
+            if ref_from != a or got != ref_text:
+                bad += 1
+                print(f"EXTRACT MISMATCH ivl {i} [{a},{b}]: "
+                      f"engine={got[:30]!r} reference={ref_text[:30]!r}")
+
+        # D: same genpatterns workload, numc=10, against display_substring
+        # over the '\n'-SEPARATED flat text as ONE document (the same
+        # index the C/L classes used, so the reference's snippet edges
+        # equal the single-doc view's).  Snippets compared as per-pattern
+        # multisets byte-exactly, ×(file repetitions of the pattern) since
+        # run_queries emits numocc snippets per FILE ENTRY.
+        #
+        # D deliberately avoids the separator-less file: sau's count/
+        # locate right-boundary shortcut tests suffix SA[0] for BOTH
+        # boundaries (SAu.c:261-291,303-335), so any pattern that
+        # prefix-matches the lexicographically smallest suffix collapses
+        # the range to [0,0] and reports numocc=1.  This crosscheck found
+        # that bug live: on the separator-less text (space = minimum
+        # byte) the reference counted ' bababa0' as 1 vs 3888 true
+        # occurrences, and counts 'aa' in the 4-byte text 'aaab' as 1.
+        # With '\n' separators the minimum suffix starts with '\n' <
+        # every genpatterns pattern byte, the shortcut never fires, and
+        # the reference is exact — which is also why the reference's own
+        # Pizza&Chili usage never trips it.
+        numc = 10
+        rd = subprocess.run(
+            [os.path.join(utils, "run_queries"), idx_path, "D", str(numc),
+             "V"],
+            input=pat_bytes, capture_output=True, check=True,
+        )
+        ref_disp = parse_display_verbose(rd.stdout)
+        with open(flat_path, "rb") as fh:
+            sep_blob = fh.read()
+        flat_docs = prepare_corpus(
+            spark.createDataFrame(
+                [("flat://0", sep_blob.decode("utf-8"))],
+                "url string, text string",
+            )
+        )
+        gram_root2 = os.path.join(work, "grams_flat")
+        build_gram_index(spark, flat_docs, gram_root2, k=3, n_segments=2)
+        gidx2 = InvertedIndex.open(spark, gram_root2)
+        eng_disp: dict[str, list[bytes]] = {p: [] for p in uniq}
+        for r in display_substring(gidx2, flat_docs, uniq, numc=numc).collect():
+            eng_disp[r["pattern"]].append(r["snippet"].encode("utf-8"))
+        from collections import Counter as _Counter
+
+        reps = _Counter(pats)
+        for p in uniq:
+            ref_s = sorted(ref_disp.get(p, []))
+            eng_s = sorted(eng_disp[p] * reps[p])
+            if ref_s != eng_s:
+                bad += 1
+                print(f"DISPLAY MISMATCH {p!r}: {len(eng_s)} engine vs "
+                      f"{len(ref_s)} reference snippets; first diff: "
+                      f"{next(((x, y) for x, y in zip(eng_s, ref_s) if x != y), (None, None))}")
         tot = sum(ref_counts.values())
         # informational single-node timing on the identical corpus+workload.
         # Read with the scale framing in mind: the reference is a C suffix
@@ -273,8 +413,10 @@ def run_crosscheck(spark, n_docs: int = 200, plen: int = 8,
             "engine_count_batch_s": round(t_eng_count, 2),
         }), file=sys.stderr)
         if bad == 0:
-            print(f"PASS: {len(uniq)} patterns, {tot} occurrences — counts "
-                  f"and exact positions match the reference sau index")
+            print(f"PASS: {len(uniq)} patterns, {tot} occurrences — counts, "
+                  f"exact positions, {len(ivls)} extract intervals and "
+                  f"display snippet matrices (numc={numc}) all match the "
+                  f"reference sau index")
         else:
             print(f"FAIL: {bad} mismatches")
         return bad
