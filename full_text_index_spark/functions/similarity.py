@@ -452,6 +452,57 @@ def _make_assign_kernel(cent_mat: np.ndarray, cent_norms: np.ndarray):
     return assign
 
 
+def _make_owner_kernel(cent_mat: np.ndarray, cent_norms: np.ndarray):
+    """pandas UDF: vector, nrm → index of the OWNING centroid (argmax
+    csim_i, ties to the lowest centroid id — identical to the exploded
+    path's (csim_i desc, cent_id asc) window, VERDICT r04 #8).  The Lloyd
+    passes and the final list materialization only ever need crank == 1,
+    so the argmax happens inside the Arrow batch and the N×n_centroids
+    posexplode + row_number window those passes used to pay disappears.
+    Per-(row, centroid) sims keep the SAME sequential cumsum fold as the
+    ranking kernel — csim_i values stay bit-identical to the oracle."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def owner(vec: pd.Series, nrm: pd.Series) -> pd.Series:
+        la = vec.tolist()
+        if not la:
+            return pd.Series([], dtype="int64")
+        V = np.stack(la).astype(np.float64, copy=False)
+        nv = nrm.to_numpy(dtype=np.float64)
+        best_idx = np.zeros(len(V), dtype=np.int64)
+        best = np.full(len(V), np.iinfo(np.int64).min, dtype=np.int64)
+        for c in range(len(cent_mat)):
+            dots = np.cumsum(V * cent_mat[c][None, :], axis=1)[:, -1]
+            csim = np.floor(
+                dots / (nv * cent_norms[c]) * 10_000
+            ).astype(np.int64)
+            better = csim > best   # strict: ties keep the LOWEST cent index
+            best[better] = csim[better]
+            best_idx[better] = c
+        return pd.Series(best_idx)
+
+    return owner
+
+
+def _owner_assignment(emb_n, cent_rows, id_col, vec_col):
+    """(id, vec, nrm, cent_id): each vector tagged with its owning
+    centroid — the fused crank==1 projection (one Arrow pass, no explode,
+    no window, no shuffle)."""
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cent_ids = [int(cid) for cid, _ in cent_rows]
+    cent_mat = np.stack([v for _, v in cent_rows]).astype(np.float64)
+    cent_norms = np.array([_seq_norm_np(v) for v in cent_mat])
+    owner = _make_owner_kernel(cent_mat, cent_norms)
+    id_arr = F.array(*[F.lit(c).cast("long") for c in cent_ids])
+    return emb_n.select(
+        id_col, vec_col, "nrm",
+        F.element_at(
+            id_arr, (owner(F.col(vec_col), F.col("nrm")) + 1).cast("int")
+        ).alias("cent_id"),
+    )
+
+
 def _assign_to_centroids(emb_n, cent_rows, id_col, vec_col):
     """(vec_id, vec, nrm, cent_id, csim_i, crank): nearest-centroid ranking
     per vector — crank 1 is the owning inverted list.  ``cent_rows`` is the
@@ -481,13 +532,13 @@ def _assign_to_centroids(emb_n, cent_rows, id_col, vec_col):
     )
 
 
-def _kmeans_step(assigned, id_col, vec_col):
-    """One deterministic Lloyd update: new centroid = element-wise mean of
-    its members, computed as EXACT integer sums of ×10^6-scaled coordinates
+def _kmeans_step(memb, id_col, vec_col):
+    """One deterministic Lloyd update over ``memb(id, vec, cent_id)``
+    (owner assignments): new centroid = element-wise mean of its members,
+    computed as EXACT integer sums of ×10^6-scaled coordinates
     (float summation order would differ between engines; integer sums are
     associative, so the refined centroids are bit-identical in Spark and the
     DuckDB oracle).  Empty clusters drop out."""
-    memb = assigned.where(F.col("crank") == 1).select(id_col, vec_col, "cent_id")
     dims = memb.select(
         "cent_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
     ).withColumn(
@@ -557,7 +608,10 @@ def ivf_cosine_topk(
     if nprobe is None:
         nprobe = adaptive_nprobe(n_centroids)
     stride = max((int(bounds["mx"]) + 1) // n_centroids, 1)
-    emb_n = with_norm(embeddings, vec_col)
+    # norms computed ONCE and cached across every Lloyd pass, the final
+    # assignment and the query-side scoring (VERDICT r04 #8: the three
+    # assignment passes each re-derived them)
+    emb_n = with_norm(embeddings, vec_col).cache()
     # seed selection by id arithmetic (id % stride == 0, first n_centroids
     # strides) — a WHERE, not an ORDER BY+LIMIT, so the oracle SQL states
     # the identical set without a non-constant LIMIT.  Centroids live
@@ -578,17 +632,19 @@ def ivf_cosine_topk(
         )
     ]
     for _ in range(kmeans_iters):
-        assigned_i = _assign_to_centroids(emb_n, cent_rows, id_col, vec_col)
+        memb_i = _owner_assignment(emb_n, cent_rows, id_col, vec_col)
         cent_rows = [
             (int(r["cent_id"]), np.asarray(r["cvec"], dtype=np.float64))
-            for r in _kmeans_step(assigned_i, id_col, vec_col).collect()
+            for r in _kmeans_step(memb_i, id_col, vec_col).collect()
         ]
-    assigned = _assign_to_centroids(emb_n, cent_rows, id_col, vec_col)
-    lists = assigned.where(F.col("crank") == 1).select(
-        id_col, vec_col, "nrm", "cent_id"
-    )
+    # final pass fused with list materialization: owner-argmax inside the
+    # kernel (no explode/window over N×n_centroids); only the QUERY
+    # vectors — a handful — take the exploded top-nprobe ranking path
+    lists = _owner_assignment(emb_n, cent_rows, id_col, vec_col)
+    q_emb = emb_n.where(F.col(id_col).isin(query_ids))
     probes = (
-        assigned.where(F.col(id_col).isin(query_ids) & (F.col("crank") <= nprobe))
+        _assign_to_centroids(q_emb, cent_rows, id_col, vec_col)
+        .where(F.col("crank") <= nprobe)
         .select(F.col(id_col).alias("qid"), F.col("cent_id").alias("pcent"))
     )
     q = emb_n.where(F.col(id_col).isin(query_ids)).select(
