@@ -777,6 +777,41 @@ def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-qid type-ahead prefix for the composed search page (first two chars
+# of the query's first term; absent-prefix rows exercise the no-completion
+# path)
+SEARCH_PAGE_PREFIXES: dict[int, str] = {
+    qid: terms[0][:2] for qid, terms in BM25_QUERIES
+}
+
+
+def _q_search_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed page: BM25 top-k + snippets + facets + suggestions in ONE
+    call sharing the hit set and positional decode (VERDICT r04 #7)."""
+    from full_text_index_spark.query import search_page
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, terms, SEARCH_PAGE_PREFIXES[qid])
+         for qid, terms in BM25_QUERIES],
+        "qid long, terms array<string>, prefix string",
+    )
+    facets = _documents(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("facet")
+    )
+    return (
+        search_page(idx, _documents(spark, sf_dir), facets, qdf, k=10,
+                    width=PASSAGE_WIDTH, n_suggest=5)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "doc_id",
+                _score_i(F.col("score")).alias("score_i"),
+                F.col("start").cast("long").alias("start"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_occ").cast("long").alias("n_occ"), "snippet",
+                "facets", "suggestions")
+        .orderBy("qid", "rank")
+    )
+
+
 def _q_ranked_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k + best highlight window per hit (the search-UI flow)."""
     from full_text_index_spark.query import ranked_snippets
@@ -1244,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 49; tools/parity_check.py still exercises all 73 every run.
     return {
         # -- never driver-checked (r1-r4) -----------------------------------
+        "search_page": _q_search_page,
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "more_like_this": _q_more_like_this,
@@ -2055,6 +2091,64 @@ JOIN best b ON b.qid = h.qid AND b.doc_id = h.doc_id AND b.rn = 1
 JOIN tok_arrays t ON t.doc_id = h.doc_id
 ORDER BY qid, rank
 """.strip()
+
+    # composed search page = ranked_snippets + facet sidebar (conjunctive
+    # match set) + type-ahead suggestions, one row per (qid, rank)
+    page_pref_vals = ", ".join(
+        f"({qid}, '{SEARCH_PAGE_PREFIXES[qid]}')" for qid, _ in BM25_QUERIES
+    )
+    sqls["search_page"] = (
+        sqls["ranked_snippets"].rsplit("SELECT h.qid::BIGINT", 1)[0]
+        + f""",
+nq AS (SELECT qid, count(DISTINCT term) AS n_terms FROM q GROUP BY qid),
+dtf AS (SELECT DISTINCT doc_id, term FROM toks),
+fg0 AS (
+  SELECT q.qid, dtf.doc_id, count(DISTINCT q.term) AS n_hit
+  FROM q JOIN dtf ON dtf.term = q.term GROUP BY q.qid, dtf.doc_id
+),
+fg AS (
+  SELECT fg0.qid, fg0.doc_id FROM fg0
+  JOIN nq ON nq.qid = fg0.qid WHERE fg0.n_hit = nq.n_terms
+),
+fac AS (
+  SELECT qid, string_agg(fx, '|' ORDER BY fx) AS facets FROM (
+    SELECT fg.qid, d.source || ':' || count(*)::BIGINT AS fx
+    FROM fg JOIN documents d ON d.doc_id = fg.doc_id
+    GROUP BY fg.qid, d.source
+  ) GROUP BY qid
+),
+dict AS (
+  SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term
+),
+pref(qid, prefix) AS (VALUES {page_pref_vals}),
+sug0 AS (
+  SELECT p.prefix, d.term,
+         row_number() OVER (
+           PARTITION BY p.prefix ORDER BY d.cf DESC, d.term ASC
+         ) AS srank
+  FROM (SELECT DISTINCT prefix FROM pref) p
+  JOIN dict d ON starts_with(d.term, p.prefix)
+),
+sug AS (
+  SELECT prefix, string_agg(term, '|' ORDER BY srank) AS suggestions
+  FROM sug0 WHERE srank <= 5 GROUP BY prefix
+)
+SELECT h.qid::BIGINT AS qid, h.rank::BIGINT AS rank, h.doc_id AS doc_id,
+       CAST(floor(h.score * 10000 + 0.5) AS BIGINT) AS score_i,
+       b.start::BIGINT AS start, b.n_terms::BIGINT AS n_terms,
+       b.n_occ::BIGINT AS n_occ,
+       array_to_string(t.l[b.start : b.start + {PASSAGE_WIDTH - 1}], ' ')
+         AS snippet,
+       coalesce(fac.facets, '') AS facets,
+       coalesce(sug.suggestions, '') AS suggestions
+FROM hits h
+JOIN best b ON b.qid = h.qid AND b.doc_id = h.doc_id AND b.rn = 1
+JOIN tok_arrays t ON t.doc_id = h.doc_id
+LEFT JOIN fac ON fac.qid = h.qid
+LEFT JOIN pref ON pref.qid = h.qid
+LEFT JOIN sug ON sug.prefix = pref.prefix
+ORDER BY qid, rank
+""")
 
     from full_text_index_spark.tokenizer import tokenize_py as _tokpy
     pp_fixed, pp_pref = [], []

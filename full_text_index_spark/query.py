@@ -1325,6 +1325,103 @@ def ranked_snippets(
     )
 
 
+def search_page(
+    index: InvertedIndex,
+    docs: DataFrame,
+    doc_facets: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    width: int = 16,
+    n_suggest: int = 5,
+    facet_col: str = "facet",
+) -> DataFrame:
+    """One composed call = the whole search-results page: BM25 top-k,
+    best-window highlight per hit, facet sidebar counts and type-ahead
+    suggestions (VERDICT r04 #7).  Invoked separately, the four ops pay
+    four sets of plan/broadcast/collect job constants and
+    `ranked_snippets` re-runs the scoring kernel the page already ran;
+    composed, the tokenized query batch, the single driver-resident hit
+    set and the one block-targeted positional decode are shared — the
+    page costs the sum of its parts minus the duplicated kernel run and
+    collects (measured in BENCH/EXTRA.md §l).
+
+    ``queries(qid, terms array<string>, prefix string)``;
+    ``doc_facets(doc_id, <facet_col>)``.  Output one row per (qid, rank):
+    (qid, rank, doc_id, score, start, n_terms, n_occ, snippet,
+    facets — '|'-joined sorted 'facet:n_docs' strings over the
+    CONJUNCTIVE match set (the sidebar truth, not top-k-truncated),
+    suggestions — '|'-joined completions of the query's prefix by
+    (cf desc, term))."""
+    from full_text_index_spark.tokenizer import tokens_col
+
+    spark = index.spark
+    qcore = queries.select("qid", "terms")
+    qterms = qcore.select(
+        "qid", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    hits_pd = bm25_topk(index, qcore, k=k).toPandas()
+    hits = spark.createDataFrame(
+        hits_pd, "qid long, rank int, doc_id long, score double"
+    )
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    occ = (
+        term_positions(index, terms, within_docs=hits_pd["doc_id"].tolist())
+        .join(qterms, "term")
+        .join(hits.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi")
+    )
+    best = _best_windows(occ, width)
+    snip = (
+        hits.join(best, ["qid", "doc_id"])
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "qid", "rank", "doc_id", "score", "start", "n_terms", "n_occ",
+            F.array_join(
+                F.slice(tokens_col(F.col("text")), F.col("start"), width), " "
+            ).alias("snippet"),
+        )
+    )
+    # facet sidebar: '|'-joined on the CONCATENATED string so the sort is
+    # byte-deterministic cross-engine even when facet values share prefixes
+    fc = facet_counts(index, doc_facets, qcore, facet_col=facet_col)
+    facets_arr = fc.groupBy("qid").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws(
+                ":", F.col("facet"), F.col("n_docs").cast("string")
+            ))), "|"
+        ).alias("facets")
+    )
+    prefixes = sorted({
+        r["prefix"]
+        for r in queries.select("prefix").distinct().collect()
+        if r["prefix"]
+    })
+    sugg_arr = (
+        suggest_terms(index, prefixes, k=n_suggest)
+        .groupBy("prefix")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                    lambda s: s["term"],
+                ), "|"
+            ).alias("suggestions")
+        )
+    )
+    qpref = queries.select("qid", "prefix").join(
+        F.broadcast(sugg_arr), "prefix", "left"
+    )
+    return (
+        snip.join(F.broadcast(facets_arr), "qid", "left")
+        .join(F.broadcast(qpref.select("qid", "suggestions")), "qid", "left")
+        .select(
+            "qid", "rank", "doc_id", "score", "start", "n_terms", "n_occ",
+            "snippet",
+            F.coalesce("facets", F.lit("")).alias("facets"),
+            F.coalesce("suggestions", F.lit("")).alias("suggestions"),
+        )
+    )
+
+
 def passage_snippets(
     index: InvertedIndex,
     docs: DataFrame,

@@ -719,3 +719,60 @@ def test_best_windows_linear_on_pathological_tf(spark, tmp_path):
     assert got[0]["n_occ"] == W
     assert got[1]["start"] == 1 and got[1]["n_terms"] == 2
     assert wall < 60, f"pathological-tf best_passage took {wall:.1f}s"
+
+
+def test_search_page_composes_its_parts(pos_index, docs_pdf, qdf, queries,
+                                        spark):
+    """The composed page must equal its four parts run separately:
+    ranked_snippets rows, facet_counts sidebar strings, suggest_terms
+    completion strings (VERDICT r04 #7 — composition may share work but
+    never change results)."""
+    from full_text_index_spark.query import (
+        facet_counts,
+        ranked_snippets,
+        search_page,
+        suggest_terms,
+    )
+
+    docs = pos_index.spark.createDataFrame(
+        docs_pdf[["doc_id", "text"]]
+    )
+    facets = pos_index.doc_stats().select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+        .alias("facet"),
+    )
+    prefix_of = {qid: terms[0][:2] for qid, terms in queries}
+    qp = spark.createDataFrame(
+        [(qid, terms, prefix_of[qid]) for qid, terms in queries],
+        "qid long, terms array<string>, prefix string",
+    )
+    got = (search_page(pos_index, docs, facets, qp, k=5, width=8,
+                       n_suggest=3)
+           .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    rs = (ranked_snippets(pos_index, docs, qdf, k=5, width=8)
+          .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["qid", "rank", "doc_id", "score", "start", "n_terms", "n_occ",
+             "snippet"]].astype({"rank": "int64"}),
+        rs.astype({"rank": "int64"}),
+    )
+
+    fc = facet_counts(pos_index, facets, qdf).toPandas()
+    want_facets = {
+        qid: "|".join(sorted(f"{r.facet}:{int(r.n_docs)}"
+                             for r in g.itertuples()))
+        for qid, g in fc.groupby("qid")
+    }
+    st = suggest_terms(
+        pos_index, sorted(set(prefix_of.values())), k=3
+    ).toPandas()
+    want_sugg = {
+        pref: "|".join(g.sort_values("rank")["term"])
+        for pref, g in st.groupby("prefix")
+    }
+    for row in got.itertuples():
+        assert row.facets == want_facets.get(row.qid, "")
+        assert row.suggestions == want_sugg.get(prefix_of[row.qid], "")
+    assert (got["facets"] != "").any() and (got["suggestions"] != "").any()
