@@ -776,3 +776,44 @@ def test_search_page_composes_its_parts(pos_index, docs_pdf, qdf, queries,
         assert row.facets == want_facets.get(row.qid, "")
         assert row.suggestions == want_sugg.get(prefix_of[row.qid], "")
     assert (got["facets"] != "").any() and (got["suggestions"] != "").any()
+
+
+def test_best_windows_fuzz_vs_bruteforce(spark):
+    """Randomized differential for the linear `_best_windows` sweep: the
+    brute-force window evaluation (every anchor × every occurrence) is the
+    oracle.  Covers duplicate positions across terms (two terms at the same
+    tpos), singleton groups, dense clusters and sparse tails — the cases
+    where the searchsorted/difference-array bookkeeping could drift."""
+    import random
+
+    from full_text_index_spark.query import _best_windows
+
+    rng = random.Random(4242)
+    for width in (1, 3, 8):
+        rows, want = [], {}
+        for g in range(40):
+            n_terms_pool = rng.randint(1, 4)
+            terms = [f"t{i}" for i in range(n_terms_pool)]
+            n_occ = rng.randint(1, 30)
+            span = rng.choice([5, 12, 40, 200])
+            occ = sorted(
+                {(rng.randint(1, span), rng.choice(terms)) for _ in range(n_occ)}
+            )
+            for p, t in occ:
+                rows.append((0, g, t, p))
+            best = None
+            for s, _ in occ:
+                in_w = [(p, t) for p, t in occ if s <= p < s + width]
+                key = (len({t for _, t in in_w}), len(in_w), -s)
+                if best is None or key > best[0]:
+                    best = (key, s)
+            k, s = best
+            want[(0, g)] = (s, k[0], k[1])
+        occ_df = spark.createDataFrame(
+            rows, "qid long, doc_id long, term string, tpos long"
+        )
+        got = {
+            (r["qid"], r["doc_id"]): (r["start"], r["n_terms"], r["n_occ"])
+            for r in _best_windows(occ_df, width).collect()
+        }
+        assert got == want, f"width={width}"
