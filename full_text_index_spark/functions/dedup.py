@@ -162,10 +162,15 @@ def containment_pairs(
     ).select("src_doc", "dst_doc", "inter", "src_sz", "containment_i")
 
 
-def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
-                       shingle_k: int = MINHASH_SHINGLE) -> DataFrame:
-    """(doc_id, j, minhash): n_funcs min-wise hashes over shingle hashes,
-    h_j(x) = ((2j+1)·x + 7919j + 1) mod P."""
+def minhash_signatures_expr(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
+                            shingle_k: int = MINHASH_SHINGLE) -> DataFrame:
+    """Column-expression rendering of `minhash_signatures` — kept as the
+    in-Spark differential oracle for the Arrow kernel (tests compare the two
+    bit-for-bit; the DuckDB oracle is the third independent rendering).
+    Explode shingles → token_hash → explode j → min per (doc, j).  Correct
+    but interpreted-HOF-bound: token_hash is a per-char aggregate lambda
+    Catalyst cannot codegen, so this path costs seconds even on MB-scale
+    corpora — the kernel does the identical integer math vectorized."""
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(shingle_k))).alias("shingle")
     ).withColumn("h", token_hash(F.col("shingle")))
@@ -182,22 +187,132 @@ def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     )
 
 
+def _make_minhash_kernel(n_funcs: int, shingle_k: int):
+    """mapInPandas kernel: (doc_id, text) → (doc_id, sig array<long>), the
+    full n_funcs-wide min-wise signature per doc, numpy-vectorized.
+
+    Bit-identical to `minhash_signatures_expr` / the DuckDB oracle by
+    construction: tokens are the same lowercase-[a-z0-9]+ runs, the shingle
+    hash folds the same (acc·31 + codepoint) mod P sequence Spark's
+    `ascii()` sees (UTF-32 codepoints, never UTF-8 bytes), and the affine
+    family is the same ((2j+1)·x + 7919j + 1) mod P.  The polynomial is
+    composed per-token — H(" ".join(w)) = fold(acc·31^len(t) + h0(t), with
+    an (acc·31 + 32) space step between tokens) — so each token's chars are
+    Horner-folded once, not once per window.  All int64; every intermediate
+    < 2^62 (acc, h0 < P = 2^31−1; pw < P)."""
+    import numpy as np
+    import pandas as pd
+
+    from full_text_index_spark.functions.textstats import HASH_SEED
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    P = HASH_P
+    js = np.arange(n_funcs, dtype=np.int64)
+    mult = 2 * js + 1
+    add = 7919 * js + 1
+
+    def kern(iterator):
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "sig": pd.Series(dtype=object),
+        })
+        for pdf in iterator:
+            # NULL text → no tokens → absent, matching the expr path
+            tok_lists = [
+                tokenize_py(s) if isinstance(s, str) else [] for s in pdf["text"]
+            ]
+            n_toks = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = [t for lst in tok_lists for t in lst]
+            if not flat:
+                yield empty
+                continue
+            lens = np.fromiter((len(t) for t in flat), dtype=np.int64,
+                               count=len(flat))
+            cp = np.frombuffer(
+                "".join(flat).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # per-token seed-0 Horner hash + 31^len, char positions vectorized
+            h0 = np.zeros(len(flat), np.int64)
+            pw = np.ones(len(flat), np.int64)
+            for p in range(int(lens.max())):
+                m = lens > p
+                h0[m] = (h0[m] * 31 + cp[offs[:-1][m] + p]) % P
+                pw[m] = (pw[m] * 31) % P
+            # one window per shingle start, ragged across docs
+            cnt = np.maximum(n_toks - (shingle_k - 1), 0)
+            base = np.concatenate(([0], np.cumsum(n_toks)))[:-1]
+            cum = np.concatenate(([0], np.cumsum(cnt)))
+            idx0 = (np.repeat(base, cnt)
+                    + np.arange(cum[-1]) - np.repeat(cum[:-1], cnt))
+            win_doc = np.repeat(np.arange(len(tok_lists), dtype=np.int64), cnt)
+            acc = np.full(cum[-1], HASH_SEED, np.int64)
+            for q in range(shingle_k):
+                t = idx0 + q
+                acc = (acc * pw[t] + h0[t]) % P
+                if q < shingle_k - 1:
+                    acc = (acc * 31 + 32) % P  # the " " joiner
+            if not len(acc):
+                yield empty
+                continue
+            # distinct (doc, shingle-hash), then min per (doc, j)
+            ukey = np.unique((win_doc << 31) | acc)
+            ud, uh = ukey >> 31, ukey & ((1 << 31) - 1)
+            hj = (uh[:, None] * mult[None, :] + add[None, :]) % P
+            bnd = np.flatnonzero(np.diff(ud, prepend=-1))
+            mins = np.minimum.reduceat(hj, bnd, axis=0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[ud[bnd]],
+                "sig": list(mins),
+            })
+
+    return kern
+
+
+def _minhash_sig(docs: DataFrame, n_funcs: int, shingle_k: int) -> DataFrame:
+    """(doc_id, sig array<long>) via the Arrow kernel — zero shuffles; docs
+    with no shingle (fewer than shingle_k tokens) are absent, as everywhere.
+    Scale shape: per-doc-local work inside whatever partitioning the input
+    already has — at 100 TB this is a map stage, nothing moves."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _make_minhash_kernel(n_funcs, shingle_k),
+        schema="doc_id long, sig array<long>",
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
+                       shingle_k: int = MINHASH_SHINGLE) -> DataFrame:
+    """(doc_id, j, minhash): n_funcs min-wise hashes over shingle hashes,
+    h_j(x) = ((2j+1)·x + 7919j + 1) mod P.  Computed by the vectorized
+    Arrow kernel (`_make_minhash_kernel`); `minhash_signatures_expr` is the
+    same math as Spark column expressions and the differential oracle."""
+    return _minhash_sig(docs, n_funcs, shingle_k).select(
+        "doc_id", F.posexplode("sig").alias("j", "minhash")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
                       bands: int = MINHASH_BANDS,
                       shingle_k: int = MINHASH_SHINGLE) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all rows of ≥1 LSH band.
-    Output (doc_a, doc_b, n_bands_shared)."""
+    Output (doc_a, doc_b, n_bands_shared).  Band keys are sliced from the
+    in-row signature array (no collect_list re-pack); the only shuffle is
+    the (band, band_key) self-join — the one inherent to LSH blocking."""
     rows_per_band = n_funcs // bands
-    sig = minhash_signatures(docs, n_funcs, shingle_k)
-    band = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",", F.transform(F.array_sort(F.collect_list(
-                    F.struct("j", "minhash"))), lambda s: s["minhash"].cast("string"))
-            ).alias("band_key")
-        )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda m: m.cast("string"),
+            ),
+        ),
+    )
+    band = _minhash_sig(docs, n_funcs, shingle_k).select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
     a, b = band.alias("a"), band.alias("b")
     return (

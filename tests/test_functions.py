@@ -447,3 +447,30 @@ def test_containment_catches_superset_jaccard_misses(spark):
            for r in D.ngram_jaccard_pairs(docs, k=3,
                                           min_jaccard=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_minhash_kernel_matches_expr_rendering(spark):
+    """The Arrow minhash kernel must be BIT-IDENTICAL to the column-
+    expression rendering (which the DuckDB oracle mirrors): same tokens,
+    same codepoint Horner fold, same affine family, same distinct-then-min.
+    Edge rows: null text, empty text, < k tokens (absent), repeated
+    shingles (distinct), unicode separators/case, and a 64-func signature
+    (multiplier up to 127 — the widest int64 product path)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a b"),
+        (3, None),
+        (4, "x y z x y z x y z"),
+        (5, "Héllo WÖRLD foo bar baz — teST 42 foo bar baz"),
+        (6, ""),
+        (7, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+        (8, "  leading   separators\t\nand trailing  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_funcs in (16, 64):
+        got = {(r.doc_id, r.j): r.minhash
+               for r in D.minhash_signatures(docs, n_funcs=n_funcs).collect()}
+        want = {(r.doc_id, r.j): r.minhash
+                for r in D.minhash_signatures_expr(docs, n_funcs=n_funcs).collect()}
+        assert got == want and got, n_funcs
+    assert not any(d == 3 or d == 6 or d == 2 for d, _ in got)
