@@ -102,10 +102,17 @@ def main() -> None:
     # lets ONE driver shot self-adjudicate host-vs-engine.
     op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "2"))
 
-    def timed(name: str, fn, reps: int | None = None):
+    def timed(name: str, fn, reps: int | None = None,
+              fresh_cache: bool = False):
+        # fresh_cache: ops that persist() internally (the LSH band table)
+        # would otherwise hit Spark's CacheManager plan-match on rep 2 (and
+        # on any later op sharing the sub-plan), reporting a cache read
+        # instead of the op's cost — clear before every rep for those.
         reps = op_reps if reps is None else reps
         out, best = None, None
         for _ in range(max(1, reps)):
+            if fresh_cache:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
@@ -234,7 +241,8 @@ def main() -> None:
             finally:
                 shutil.rmtree(gram_root, ignore_errors=True)
             timed("dedup_exact", lambda: D.exact_dedup(docs).count())
-            timed("dedup_minhash_pairs", lambda: D.minhash_lsh_pairs(docs).count())
+            timed("dedup_minhash_pairs",
+                  lambda: D.minhash_lsh_pairs(docs).count(), fresh_cache=True)
             timed("dedup_simhash", lambda: D.simhash(docs).count())
             timed(
                 "dedup_embedding_pairs",
@@ -280,7 +288,7 @@ def main() -> None:
                     dedup_clusters,
                 )
                 return dedup_clusters(docs, D.minhash_lsh_pairs(docs)).count()
-            timed("dedup_components", _components)
+            timed("dedup_components", _components, fresh_cache=True)
 
             def _sampling():
                 from full_text_index_spark.functions.sampling import (

@@ -61,6 +61,24 @@ def _shingles(k: int):
 JACCARD_MAX_DF = 256  # shingles in more docs than this are dropped pre-join
 
 
+def _capped_shingles(docs: DataFrame, k: int, max_shingle_df: int) -> DataFrame:
+    """(doc_id, shingle) distinct per doc, Zipf-head shingles above the df
+    cap dropped.  Persisted: the callers feed it to BOTH self-join sides
+    plus the per-doc size aggregate, and an un-persisted plan re-executes
+    the explode + df-count shuffle once per consumer."""
+    from pyspark import StorageLevel
+
+    sh_all = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(k))).alias("shingle")
+    )
+    df_counts = sh_all.groupBy("shingle").agg(F.count("*").alias("sh_df"))
+    return (
+        sh_all.join(df_counts.where(F.col("sh_df") <= max_shingle_df), "shingle")
+        .select("doc_id", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = JACCARD_SHINGLE, min_jaccard: float = 0.1,
     max_shingle_df: int = JACCARD_MAX_DF,
@@ -76,14 +94,7 @@ def ngram_jaccard_pairs(
     keeps the measure an exact Jaccard of well-defined sets — deterministic
     and mirrored verbatim in the DuckDB oracle.
     Output: (doc_a, doc_b, inter, union_sz, jaccard_i = floor(j·10^4))."""
-    sh_all = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(k))).alias("shingle")
-    )
-    df_counts = sh_all.groupBy("shingle").agg(F.count("*").alias("sh_df"))
-    sh = (
-        sh_all.join(df_counts.where(F.col("sh_df") <= max_shingle_df), "shingle")
-        .select("doc_id", "shingle")
-    )
+    sh = _capped_shingles(docs, k, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -123,15 +134,7 @@ def containment_pairs(
     mirrored verbatim in the oracle).  One undirected intersection join
     feeds BOTH directions.
     Output: (src_doc, dst_doc, inter, src_sz, containment_i)."""
-    sh_all = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(k))).alias("shingle")
-    )
-    df_counts = sh_all.groupBy("shingle").agg(F.count("*").alias("sh_df"))
-    sh = (
-        sh_all.join(df_counts.where(F.col("sh_df") <= max_shingle_df),
-                    "shingle")
-        .select("doc_id", "shingle")
-    )
+    sh = _capped_shingles(docs, k, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -299,7 +302,12 @@ def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     """Candidate near-dup pairs: docs agreeing on all rows of ≥1 LSH band.
     Output (doc_a, doc_b, n_bands_shared).  Band keys are sliced from the
     in-row signature array (no collect_list re-pack); the only shuffle is
-    the (band, band_key) self-join — the one inherent to LSH blocking."""
+    the (band, band_key) self-join — the one inherent to LSH blocking.
+    The band table is persisted (memory-and-disk, ~bands short rows per
+    doc) so the signature kernel runs ONCE — an un-persisted self-join
+    re-executes the lineage for each side, doubling the kernel cost."""
+    from pyspark import StorageLevel
+
     rows_per_band = n_funcs // bands
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -313,7 +321,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     )
     band = _minhash_sig(docs, n_funcs, shingle_k).select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = band.alias("a"), band.alias("b")
     return (
         a.join(
@@ -357,7 +365,11 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, bits: int = 31,
                        max_hamming: int = 6, band_bits: int = 8) -> DataFrame:
     """Hamming-near pairs via banded exact-match blocking then exact
-    bit_count(xor) filter. Output (doc_a, doc_b, hamming)."""
+    bit_count(xor) filter. Output (doc_a, doc_b, hamming).  The banded
+    table is persisted so the two simhash aggregation shuffles run once,
+    not once per self-join side."""
+    from pyspark import StorageLevel
+
     sh = simhash(docs, bits)
     n_bands = (bits + band_bits - 1) // band_bits
     banded = sh.select(
@@ -366,7 +378,7 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 31,
     ).withColumn(
         "band_key",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
