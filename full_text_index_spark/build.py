@@ -340,6 +340,37 @@ def token_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+# closed-form per-doc term count for the default stream: doclen is a pure
+# projection (size of the token array), so the doc-stats pass needs no
+# explode and no aggregation shuffle (see doc_lengths)
+token_stream.doclen_col = lambda t: F.size(tokens_col(t)).cast("long")
+
+
+def doc_lengths(docs: DataFrame, stream) -> DataFrame:
+    """(doc_id, segment, doclen, url) — one row per doc with ≥1 stream term.
+
+    When the stream publishes a closed-form ``doclen_col`` (both built-in
+    streams do: token count = size(token array); k-gram count =
+    max(len−k+1, 0)), doclen is a pure per-row projection — no explode and
+    no aggregation shuffle at all.  Zero-term docs are dropped either way:
+    the exploded fallback never emits rows for them, and the fast path
+    filters doclen > 0 to match (NULL text → NULL doclen → dropped too).
+    doclen is cast to long so the parquet schema is byte-identical to the
+    fallback's count(*) column across resumes and generation appends."""
+    dl_col = getattr(stream, "doclen_col", None)
+    if dl_col is not None:
+        return docs.select(
+            "doc_id", "segment",
+            dl_col(F.col("text")).alias("doclen"), "url",
+        ).where(F.col("doclen") > 0)
+    return (
+        stream(docs)
+        .groupBy("doc_id", "segment")
+        .agg(F.count("*").alias("doclen"))
+        .join(docs.select("doc_id", "url"), "doc_id")
+    )
+
+
 # immutable format parameters: resuming with different values would mislabel
 # the already-written segments (ADVICE r01).  "format" is included so an
 # index written by an older on-disk layout refuses to resume instead of
@@ -484,22 +515,20 @@ def build_index(
     )
 
     # ---- pass A: doc stats ------------------------------------------------
-    # doclen = token count per doc, aggregated with map-side combine: a
-    # doc's tokens never leave their input partition before combining, so
-    # this shuffle moves ~one row per DOCUMENT (not per token).  The pack
-    # pass below re-tokenizes — a deliberate trade measured in r02: an
-    # aggregate-once-then-persist pipeline costs two wide token-level
-    # materializations (persist write+read) plus a second full shuffle,
-    # all memory-bandwidth-bound; tokenization is CPU-bound and scales.
+    # doclen via doc_lengths: a pure projection for the built-in streams
+    # (no explode, no aggregation shuffle); exploded + map-side-combined
+    # fallback for custom streams (that shuffle moves ~one row per DOCUMENT,
+    # not per token).  The pack pass below re-tokenizes — a deliberate trade
+    # measured in r02: an aggregate-once-then-persist pipeline costs two
+    # wide token-level materializations (persist write+read) plus a second
+    # full shuffle, all memory-bandwidth-bound; tokenization is CPU-bound
+    # and scales.
     need_stats = not (resume and stats_ready)
     if need_stats:
         t0 = time.monotonic()
         obs_ds = Observation("doclen_stats")
         doc_stats = (
-            stream(docs)
-            .groupBy("doc_id", "segment")
-            .agg(F.count("*").alias("doclen"))
-            .join(docs.select("doc_id", "url"), "doc_id")
+            doc_lengths(docs, stream)
             .withColumn("generation", F.lit(0))
             .observe(
                 obs_ds,

@@ -37,6 +37,7 @@ from full_text_index_spark.build import (
     BLOCK_SIZE_DEFAULT,
     POSTINGS_SCHEMA,
     _pack_map_in_pandas,
+    doc_lengths,
     prepare_corpus,
     token_stream,
 )
@@ -95,13 +96,11 @@ def append_generation(
         "segment", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
     )
 
-    # pass A (mirrors build_index): doclen = token count per doc, map-side
-    # combined — the doc-stats shuffle moves ~one row per document
-    doc_stats = (
-        stream(docs).groupBy("doc_id", "segment")
-        .agg(F.count("*").alias("doclen"))
-        .join(docs.select("doc_id", "url"), "doc_id")
-        .withColumn("generation", F.lit(generation))
+    # pass A (mirrors build_index): doclen via doc_lengths — a pure
+    # projection for the built-in streams, exploded + map-side-combined
+    # fallback for custom ones
+    doc_stats = doc_lengths(docs, stream).withColumn(
+        "generation", F.lit(generation)
     )
     doc_stats.write.mode("overwrite").partitionBy("generation").parquet(
         paths.doc_stats

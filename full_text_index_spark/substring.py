@@ -96,6 +96,14 @@ def make_gram_stream(k: int):
             )
         )
 
+    # closed-form per-doc gram count: max(len−k+1, 0) — lets the build's
+    # doc-stats pass skip generating the gram stream entirely (build.
+    # doc_lengths).  NULL text → NULL length → greatest yields 0 → dropped,
+    # matching the exploded stream (no rows for gram-less docs).
+    stream.doclen_col = lambda t: F.greatest(
+        F.length(t) - F.lit(k - 1), F.lit(0)
+    ).cast("long")
+
     return stream
 
 

@@ -192,3 +192,45 @@ def test_large_term_set_plans_as_broadcast_join(tiny_index):
         ._jdf.queryExecution().toString()
     )
     assert "Join" not in small_plan  # small sets keep the pruning IN-list
+
+
+def test_doc_lengths_fast_path_matches_exploded_fallback(spark):
+    """doc_lengths' closed-form projection (no explode, no shuffle) must
+    agree row-for-row with the exploded+aggregated fallback for BOTH
+    built-in streams, including edge docs (empty, punctuation-only,
+    shorter-than-k, null text)."""
+    from full_text_index_spark.build import doc_lengths, token_stream
+    from full_text_index_spark.substring import make_gram_stream
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0, "u1", "the quick brown fox"),
+            (2, 0, "u2", ""),            # zero tokens, zero grams
+            (3, 1, "u3", "--- !!! ---"),  # zero tokens, some grams
+            (4, 1, "u4", "ab"),           # shorter than k=3: zero grams
+            (5, 1, "u5", None),           # null text
+            (6, 0, "u6", "a-b-c d9"),
+        ],
+        "doc_id long, segment int, url string, text string",
+    )
+    for stream in (token_stream, make_gram_stream(3)):
+        fast = doc_lengths(docs, stream)
+        # strip the marker to force the exploded fallback on the same stream
+        class _Bare:  # noqa: N801 - minimal callable wrapper
+            def __call__(self, d):
+                return stream(d)
+        slow = doc_lengths(docs, _Bare())
+        f = {r.doc_id: (r.segment, r.doclen, r.url) for r in fast.collect()}
+        s = {r.doc_id: (r.segment, r.doclen, r.url) for r in slow.collect()}
+        assert f == s, (f, s)
+        # same names+types (nullability may differ: count(*) is non-null;
+        # parquet reads both back as nullable)
+        assert [(x.name, x.dataType) for x in fast.schema] == [
+            (x.name, x.dataType) for x in slow.schema
+        ]
+    # fast path is a pure projection: no Exchange, no Generate (explode)
+    plan = (
+        doc_lengths(docs, token_stream)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
