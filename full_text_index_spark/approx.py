@@ -19,14 +19,19 @@ Plan (Spark-first, candidate + verify like the exact rarest-gram path):
    least ``T = (m-k+1) - e*k`` of P's k-gram OCCURRENCES, hence at least
    ``T - dup`` DISTINCT grams of P (dup = duplicated gram slots in P).
    Candidate docs come from ONE decode of the pattern grams' postings —
-   a `term_locate` + broadcast (pattern, gram) join + count-distinct per
-   (pattern, doc).  Decoded volume tracks the query grams' lists, never
-   the corpus.
-2. **verify** — candidate docs join their text; a vectorized Arrow kernel
-   runs the classic band-free Levenshtein DP simultaneously over EVERY
-   window of the doc (the insert-chain recurrence collapses to a
-   running-min via ``min.accumulate(row - arange) + arange``), emitting
-   the surviving start positions.
+   `term_positions` + broadcast (pattern, gram, slot) join + one
+   aggregation yielding BOTH the distinct-gram count and the anchor set
+   ``{char_pos - slot}`` per (pattern, doc).  Decoded volume tracks the
+   query grams' lists, never the corpus.
+2. **position-restricted verify** (r05) — candidate docs join their text;
+   a vectorized Arrow kernel runs the banded Levenshtein window DP only
+   at starts within ±e of an anchor (every true hit has an
+   edit-untouched gram slot whose occurrence anchors it — see
+   ``_anchor_starts``), so per-doc verify cost is O(gram occurrences ·
+   e² · m) instead of O(doclen · e · m).  Extra anchors are harmless:
+   any start verified reports only true hits.  A position-less gram
+   index falls back to candidate docs + the whole-doc sweep —
+   semantics identical either way.
 
 Patterns the lemma cannot prune (``T - dup < 1``: too short, or e too
 large for m) fall back to verifying every document — same kernel, no
@@ -52,20 +57,48 @@ def _codepoints(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
-def approx_positions_np(pattern: str, text: str, e: int) -> np.ndarray:
+def approx_positions_np(
+    pattern: str, text: str, e: int, starts0: np.ndarray | None = None
+) -> np.ndarray:
     """1-based start positions of approximate occurrences of ``pattern``
     in ``text`` (edit distance <= e, window semantics above).
 
     Dispatch (VERDICT r04 #5): the BANDED O(e·m) sweep with row
     early-exit for the common small-e case; the band-free full-width DP
     only when the band degenerates (e >= m) — both produce identical
-    hit sets (fuzz-asserted in tests/test_approx.py)."""
+    hit sets (fuzz-asserted in tests/test_approx.py).
+
+    ``starts0`` (optional, sorted unique 0-based, in [0, len(text))):
+    verify only these start positions instead of every window — a pure
+    work restriction, never a semantics change (every start verified
+    reports only true hits).  Only the banded path consumes it; the
+    e >= m fallback ignores it (a correct superset of starts — callers
+    that restrict always have e < m, see ``_anchor_starts``)."""
     if 0 <= e < len(pattern):
-        return _approx_positions_banded(pattern, text, e)
+        return _approx_positions_banded(pattern, text, e, starts0)
     return approx_positions_full_np(pattern, text, e)
 
 
-def _approx_positions_banded(pattern: str, text: str, e: int) -> np.ndarray:
+def _anchor_starts(anchors, e: int, n: int) -> np.ndarray:
+    """Candidate 0-based start positions within ±e of an anchor.
+
+    Anchors are 1-based ``gram_char_pos − pattern_slot`` values: if a
+    window starting at s matches P with <= e edits, the edit transcript
+    leaves >= (m−k+1) − e·k gram SLOTS of P untouched (each edit destroys
+    at most k slots), and an untouched slot j appears verbatim in the text
+    at char position p = s + j + δ_j with |δ_j| <= e (δ_j = net indels
+    before slot j) — so s ∈ [p−j−e, p−j+e] for at least one indexed gram
+    occurrence whenever the q-gram threshold is >= 1 (the same condition
+    that gates the pruned path)."""
+    a = np.asarray(anchors, dtype=np.int64)
+    s = (a[:, None] + np.arange(-e, e + 1, dtype=np.int64)[None, :])
+    s = np.unique(s.ravel()) - 1
+    return s[(s >= 0) & (s < n)]
+
+
+def _approx_positions_banded(
+    pattern: str, text: str, e: int, starts0: np.ndarray | None = None
+) -> np.ndarray:
     """Banded window DP: lev(window_prefix_j, pattern_prefix_r) >= |j-r|,
     so only the 2e+1 diagonals |j-r| <= e can ever stay <= e — each DP
     row touches O(e) vectorized columns instead of m+e+1, and a start
@@ -78,11 +111,14 @@ def _approx_positions_banded(pattern: str, text: str, e: int) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     arr = _codepoints(text)
     pat = _codepoints(pattern)
-    starts = np.arange(n, dtype=np.int64)
+    starts = (np.arange(n, dtype=np.int64) if starts0 is None
+              else np.asarray(starts0, dtype=np.int64))
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
     width = 2 * e + 1
     INF = np.int32(2 ** 30)
     # band[:, d] = D[r][j] with j = r + (d - e); row 0: D[0][j] = j
-    band = np.empty((n, width), dtype=np.int32)
+    band = np.empty((len(starts), width), dtype=np.int32)
     for d in range(width):
         j = d - e
         band[:, d] = j if j >= 0 else INF
@@ -175,20 +211,63 @@ def _distinct_threshold(pattern: str, k: int, e: int) -> int:
     return t_occ - dup
 
 
-def _make_verify_kernel(pat_edits: dict[str, int]):
+def _make_candidate_kernel(pat_edits: dict[str, int]):
+    """Verify kernel for the candidate path: one input row per candidate
+    DOC (text ships through Arrow exactly once however many patterns hit
+    it), carrying ``plist`` = list<struct<pattern, anchors>>; a NULL
+    anchors array means "no position restriction" (the position-less
+    gram-index fallback)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_p, out_d, out_c = [], [], []
-            for pattern, doc_id, text in zip(
-                pdf["pattern"], pdf["doc_id"], pdf["text"]
+            for doc_id, text, plist in zip(
+                pdf["doc_id"], pdf["text"], pdf["plist"]
             ):
-                pos = approx_positions_np(
-                    pattern, text, pat_edits[pattern]
-                )
-                if len(pos):
-                    out_p.append(np.full(len(pos), pattern, dtype=object))
-                    out_d.append(np.full(len(pos), doc_id, dtype=np.int64))
-                    out_c.append(pos)
+                n = len(text)
+                for item in plist:
+                    pattern = item["pattern"]
+                    anchors = item["anchors"]
+                    e = pat_edits[pattern]
+                    starts0 = (None if anchors is None
+                               else _anchor_starts(anchors, e, n))
+                    pos = approx_positions_np(pattern, text, e, starts0)
+                    if len(pos):
+                        out_p.append(
+                            np.full(len(pos), pattern, dtype=object)
+                        )
+                        out_d.append(
+                            np.full(len(pos), doc_id, dtype=np.int64)
+                        )
+                        out_c.append(pos)
+            if out_p:
+                yield pd.DataFrame({
+                    "pattern": np.concatenate(out_p),
+                    "doc_id": np.concatenate(out_d),
+                    "cpos": np.concatenate(out_c),
+                })
+    return kernel
+
+
+def _make_scan_kernel(patterns: list[str], pat_edits: dict[str, int]):
+    """Verify kernel for the scan path: the pattern list rides in the
+    closure (query-batch-sized), so the corpus text is read and shipped
+    ONCE — not crossJoin-fanned per pattern."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_d, out_c = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for pattern in patterns:
+                    pos = approx_positions_np(
+                        pattern, text, pat_edits[pattern]
+                    )
+                    if len(pos):
+                        out_p.append(
+                            np.full(len(pos), pattern, dtype=object)
+                        )
+                        out_d.append(
+                            np.full(len(pos), doc_id, dtype=np.int64)
+                        )
+                        out_c.append(pos)
             if out_p:
                 yield pd.DataFrame({
                     "pattern": np.concatenate(out_p),
@@ -227,42 +306,83 @@ def approx_locate(
     if stats is not None:
         stats["scanned"] = list(scanned)
         stats["pruned"] = dict(pruned)
-    kernel = _make_verify_kernel({p: e for p in patterns})
+    pat_edits = {p: e for p in patterns}
     out_schema = "pattern string, doc_id long, cpos long"
     parts: list[DataFrame] = []
     if pruned:
-        pairs = sorted({
-            (p, g) for p in pruned for g in set(_pattern_grams(p, k))
-        })
-        pg = spark.createDataFrame(pairs, "pattern string, gram string")
         thr_df = spark.createDataFrame(
             sorted(pruned.items()), "pattern string, thr int"
         )
-        gram_hits = (
-            term_locate(index, sorted({g for _, g in pairs}))
-            .select(F.col("term").alias("gram"), "doc_id")
-        )
-        cand = (
-            gram_hits.join(F.broadcast(pg), "gram")
-            .groupBy("pattern", "doc_id")
-            .agg(F.count_distinct("gram").alias("ng"))
-            .join(F.broadcast(thr_df), "pattern")
-            .where(F.col("ng") >= F.col("thr"))
-            .select("pattern", "doc_id")
-        )
+        if index.meta.get("positions"):
+            # position-restricted verify (r05): keep the gram POSITIONS the
+            # filter decode already walks past, anchor each occurrence at
+            # (char_pos − pattern_slot), and verify only starts within ±e
+            # of an anchor (_anchor_starts has the survival argument) —
+            # per-doc verify cost falls from O(doclen·e·m) to
+            # O(gram_occurrences·e²·m), and the decode volume still tracks
+            # the query grams' lists, never the corpus
+            trips = sorted({
+                (p, p[j:j + k], j)
+                for p in pruned for j in range(len(p) - k + 1)
+            })
+            pg = spark.createDataFrame(
+                trips, "pattern string, gram string, slot int"
+            )
+            from full_text_index_spark.query import term_positions
+
+            cand = (
+                term_positions(index, sorted({g for _, g, _ in trips}))
+                .select(F.col("term").alias("gram"), "doc_id",
+                        F.col("tpos").alias("cpos"))
+                .join(F.broadcast(pg), "gram")
+                .groupBy("pattern", "doc_id")
+                .agg(
+                    F.count_distinct("gram").alias("ng"),
+                    F.sort_array(F.collect_set(
+                        F.col("cpos") - F.col("slot")
+                    )).alias("anchors"),
+                )
+                .join(F.broadcast(thr_df), "pattern")
+                .where(F.col("ng") >= F.col("thr"))
+                .select("pattern", "doc_id", "anchors")
+            )
+        else:
+            # position-less gram index: candidate docs only, whole-doc sweep
+            # (NULL anchors = unrestricted in the kernel)
+            pairs = sorted({
+                (p, g) for p in pruned for g in set(_pattern_grams(p, k))
+            })
+            pg = spark.createDataFrame(pairs, "pattern string, gram string")
+            cand = (
+                term_locate(index, sorted({g for _, g in pairs}))
+                .select(F.col("term").alias("gram"), "doc_id")
+                .join(F.broadcast(pg), "gram")
+                .groupBy("pattern", "doc_id")
+                .agg(F.count_distinct("gram").alias("ng"))
+                .join(F.broadcast(thr_df), "pattern")
+                .where(F.col("ng") >= F.col("thr"))
+                .select(
+                    "pattern", "doc_id",
+                    F.lit(None).cast("array<long>").alias("anchors"),
+                )
+            )
         if stats is not None:
             stats["n_candidates"] = cand.count()
+        # one verify row per candidate DOC: the doc's text crosses Arrow
+        # once no matter how many patterns selected it
+        cand_by_doc = cand.groupBy("doc_id").agg(
+            F.collect_list(F.struct("pattern", "anchors")).alias("plist")
+        )
         parts.append(
-            cand.join(docs.select("doc_id", "text"), "doc_id")
-            .mapInPandas(kernel, schema=out_schema)
+            cand_by_doc.join(docs.select("doc_id", "text"), "doc_id")
+            .mapInPandas(_make_candidate_kernel(pat_edits),
+                         schema=out_schema)
         )
     if scanned:
-        sdf = spark.createDataFrame([(p,) for p in scanned],
-                                    "pattern string")
         parts.append(
             docs.select("doc_id", "text")
-            .crossJoin(F.broadcast(sdf))
-            .mapInPandas(kernel, schema=out_schema)
+            .mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
+                         schema=out_schema)
         )
     if not parts:
         return spark.createDataFrame([], out_schema)

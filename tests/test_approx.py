@@ -174,3 +174,46 @@ def test_banded_equals_full_dp_fuzz():
             assert banded == full, (pat, text, e)
         got = approx_positions_np(pat, text, e).tolist()
         assert got == full, (pat, text, e)
+
+
+def test_anchor_starts_cover_every_hit_fuzz():
+    """The position-restricted verify (r05) may only SKIP non-hits: for a
+    pruned pattern (threshold >= 1), every brute-force hit start must lie
+    inside the ±e expansion of the anchors {gram_char_pos − slot} built
+    from ALL indexed occurrences of the pattern's k-grams — the
+    edit-untouched-slot survival argument in _anchor_starts."""
+    import numpy as np
+
+    from full_text_index_spark.approx import (
+        _anchor_starts,
+        _distinct_threshold,
+        approx_positions_np,
+    )
+
+    k = 3
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(400):
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(5, 80)))
+        pat = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 9)))
+        e = rng.randint(0, 2)
+        if _distinct_threshold(pat, k, e) < 1:
+            continue
+        # anchors exactly as the Spark plan builds them: every text
+        # occurrence of every pattern gram, at (1-based char pos − slot)
+        anchors = sorted({
+            i + 1 - j
+            for j in range(len(pat) - k + 1)
+            for i in range(len(text) - k + 1)
+            if text[i:i + k] == pat[j:j + k]
+        })
+        full = approx_positions_np(pat, text, e).tolist()
+        starts0 = _anchor_starts(anchors, e, len(text))
+        restricted = approx_positions_np(pat, text, e, starts0).tolist()
+        assert restricted == full, (pat, text, e, anchors)
+        if full:
+            checked += 1
+            hit0 = np.asarray(full, dtype=np.int64) - 1
+            assert np.isin(hit0, starts0).all(), (pat, text, e)
+    assert checked >= 30  # the fuzz actually exercised hit-bearing cases
