@@ -96,24 +96,33 @@ def _anchor_starts(anchors, e: int, n: int) -> np.ndarray:
     return s[(s >= 0) & (s < n)]
 
 
-def _approx_positions_banded(
-    pattern: str, text: str, e: int, starts0: np.ndarray | None = None
+def _banded_core(
+    pat: np.ndarray,
+    big: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    e: int,
 ) -> np.ndarray:
-    """Banded window DP: lev(window_prefix_j, pattern_prefix_r) >= |j-r|,
-    so only the 2e+1 diagonals |j-r| <= e can ever stay <= e — each DP
-    row touches O(e) vectorized columns instead of m+e+1, and a start
-    whose whole band exceeds e is dropped immediately (row minima of the
-    Levenshtein matrix are non-decreasing, and off-band cells are > e by
-    the diagonal bound, so no dropped start can recover)."""
-    m = len(pattern)
-    n = len(text)
-    if n == 0 or m == 0:
-        return np.empty(0, dtype=np.int64)
-    arr = _codepoints(text)
-    pat = _codepoints(pattern)
-    starts = (np.arange(n, dtype=np.int64) if starts0 is None
-              else np.asarray(starts0, dtype=np.int64))
-    if len(starts) == 0:
+    """Banded window DP over a CONCATENATED codepoint buffer — ONE
+    vectorized sweep verifies starts from many documents at once (the
+    kernels batch all candidates of a pattern per Arrow batch, so the DP
+    runs once per pattern instead of once per (pattern, doc) row).
+
+    Band: lev(window_prefix_j, pattern_prefix_r) >= |j-r|, so only the
+    2e+1 diagonals |j-r| <= e can ever stay <= e — each DP row touches
+    O(e) vectorized columns instead of m+e+1, and a start whose whole
+    band exceeds e is dropped immediately (row minima of the Levenshtein
+    matrix are non-decreasing, and off-band cells are > e by the
+    diagonal bound, so no dropped start can recover).
+
+    ``big`` must hold >= m+e sentinel 0 codepoints after each document
+    (0 is never produced by str.encode, so past-the-document chars always
+    mismatch — identical to the single-text kernel's past-the-end
+    sentinel, and a window can never read into the next document).
+    ``starts``/``ends`` are global 0-based start positions and their
+    document-end offsets.  Returns the global starts that hit."""
+    m = len(pat)
+    if m == 0 or len(starts) == 0:
         return np.empty(0, dtype=np.int64)
     width = 2 * e + 1
     INF = np.int32(2 ** 30)
@@ -130,11 +139,9 @@ def _approx_positions_banded(
             if j < 0:
                 cur[:, d] = INF
                 continue
-            # window char j is text[start + j - 1]; past-the-end chars get
-            # the 0 sentinel (always a mismatch), matching the full DP
-            ti = starts + (j - 1)
-            tchars = np.where(ti < n, arr[np.minimum(ti, n - 1)],
-                              np.uint32(0))
+            # window char j is big[start + j - 1]; the per-document
+            # sentinel pad guarantees in-bounds reads that mismatch
+            tchars = big[starts + (j - 1)]
             v = band[:, d] + (tchars != pc).astype(np.int32)  # diag
             if d + 1 < width:
                 v = np.minimum(v, band[:, d + 1] + 1)          # delete
@@ -148,14 +155,36 @@ def _approx_positions_banded(
                 return np.empty(0, dtype=np.int64)
             band = band[alive]
             starts = starts[alive]
+            ends = ends[alive]
     # final row: j = m + (d - e), valid while j <= avail (truncated tails
     # with avail < m-e cannot match: lev >= m - avail > e)
     avail = np.minimum(np.int32(m + e),
-                       (n - starts).astype(np.int32))
+                       (ends - starts).astype(np.int32))
     offs = np.arange(width, dtype=np.int32) - e
     j_ok = (m + offs)[None, :] <= avail[:, None]
     best = np.where(j_ok, band, INF).min(axis=1)
-    return (starts[best <= e] + 1).astype(np.int64)
+    return starts[best <= e]
+
+
+def _approx_positions_banded(
+    pattern: str, text: str, e: int, starts0: np.ndarray | None = None
+) -> np.ndarray:
+    """Single-text wrapper over ``_banded_core`` (tests fuzz this against
+    the band-free full DP; the kernels call the core directly)."""
+    m = len(pattern)
+    n = len(text)
+    if n == 0 or m == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = (np.arange(n, dtype=np.int64) if starts0 is None
+              else np.asarray(starts0, dtype=np.int64))
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    big = np.concatenate(
+        [_codepoints(text), np.zeros(m + e, dtype=np.uint32)]
+    )
+    ends = np.full(len(starts), n, dtype=np.int64)
+    hits = _banded_core(_codepoints(pattern), big, starts, ends, e)
+    return (hits + 1).astype(np.int64)
 
 
 def approx_positions_full_np(pattern: str, text: str, e: int) -> np.ndarray:
@@ -211,34 +240,117 @@ def _distinct_threshold(pattern: str, k: int, e: int) -> int:
     return t_occ - dup
 
 
+def _concat_docs(
+    texts: list[str], pad: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate documents into one codepoint buffer with ``pad``
+    sentinel 0s after each (so a window DP never reads a neighbour's
+    chars and past-the-document reads mismatch).  Returns (buffer,
+    per-doc start offsets, per-doc lengths)."""
+    cps = [_codepoints(t) for t in texts]
+    lens = np.fromiter(
+        (len(c) for c in cps), dtype=np.int64, count=len(cps)
+    )
+    offs = np.zeros(len(cps), dtype=np.int64)
+    if len(cps) > 1:
+        np.cumsum(lens[:-1] + pad, out=offs[1:])
+    z = np.zeros(pad, dtype=np.uint32)
+    chunks: list[np.ndarray] = []
+    for c in cps:
+        chunks.append(c)
+        chunks.append(z)
+    big = np.concatenate(chunks) if chunks else z
+    return big, offs, lens
+
+
+def _emit_hits(
+    pattern: str,
+    hits: np.ndarray,
+    doc_offs: np.ndarray,
+    doc_ids: np.ndarray,
+    out_p: list, out_d: list, out_c: list,
+) -> None:
+    """Map global 0-based hit starts back to (pattern, doc_id, 1-based
+    cpos) output columns."""
+    if not len(hits):
+        return
+    di = np.searchsorted(doc_offs, hits, side="right") - 1
+    out_p.append(np.full(len(hits), pattern, dtype=object))
+    out_d.append(doc_ids[di])
+    out_c.append(hits - doc_offs[di] + 1)
+
+
 def _make_candidate_kernel(pat_edits: dict[str, int]):
     """Verify kernel for the candidate path: one input row per candidate
     DOC (text ships through Arrow exactly once however many patterns hit
     it), carrying ``plist`` = list<struct<pattern, anchors>>; a NULL
     anchors array means "no position restriction" (the position-less
-    gram-index fallback)."""
+    gram-index fallback).
+
+    Verification is batched PER PATTERN across the whole Arrow batch:
+    every candidate doc's anchor starts are rebased into one concatenated
+    buffer and a single ``_banded_core`` sweep verifies them all — the DP
+    runs ~n_patterns times per batch instead of once per (pattern, doc)
+    row, whose per-call numpy constants dominated when anchors cut each
+    row's DP to a handful of starts."""
+    max_m = max((len(p) for p in pat_edits), default=1)
+    max_e = max(pat_edits.values(), default=0)
+    pad = max_m + max_e + 1
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_p, out_d, out_c = [], [], []
-            for doc_id, text, plist in zip(
-                pdf["doc_id"], pdf["text"], pdf["plist"]
-            ):
-                n = len(text)
+            if not len(pdf):
+                continue
+            big, offs, lens = _concat_docs(pdf["text"].tolist(), pad)
+            doc_ids = pdf["doc_id"].to_numpy()
+            per_pat: dict[str, tuple[list, list]] = {}
+            for i, plist in enumerate(pdf["plist"]):
+                o = int(offs[i])
+                n = int(lens[i])
+                if n == 0:
+                    continue
                 for item in plist:
                     pattern = item["pattern"]
-                    anchors = item["anchors"]
                     e = pat_edits[pattern]
-                    starts0 = (None if anchors is None
-                               else _anchor_starts(anchors, e, n))
-                    pos = approx_positions_np(pattern, text, e, starts0)
-                    if len(pos):
-                        out_p.append(
-                            np.full(len(pos), pattern, dtype=object)
-                        )
-                        out_d.append(
-                            np.full(len(pos), doc_id, dtype=np.int64)
-                        )
-                        out_c.append(pos)
+                    anchors = item["anchors"]
+                    s = (np.arange(n, dtype=np.int64) if anchors is None
+                         else _anchor_starts(anchors, e, n))
+                    if not len(s):
+                        continue
+                    sg, eg = per_pat.setdefault(pattern, ([], []))
+                    sg.append(s + o)
+                    eg.append(np.full(len(s), o + n, dtype=np.int64))
+            out_p, out_d, out_c = [], [], []
+            for pattern in sorted(per_pat):
+                sg, eg = per_pat[pattern]
+                e = pat_edits[pattern]
+                if e >= len(pattern):
+                    # band degenerates (never reached from the pruned
+                    # path, which requires m >= k(1+e) > e): per-doc
+                    # full-width DP keeps semantics
+                    for i, plist in enumerate(pdf["plist"]):
+                        for item in plist:
+                            if item["pattern"] != pattern:
+                                continue
+                            pos = approx_positions_full_np(
+                                pattern, pdf["text"].iloc[i], e
+                            )
+                            if len(pos):
+                                out_p.append(np.full(
+                                    len(pos), pattern, dtype=object))
+                                out_d.append(np.full(
+                                    len(pos), doc_ids[i], dtype=np.int64))
+                                out_c.append(pos)
+                    continue
+                hits = _banded_core(
+                    _codepoints(pattern),
+                    big,
+                    np.concatenate(sg),
+                    np.concatenate(eg),
+                    e,
+                )
+                _emit_hits(pattern, hits, offs, doc_ids,
+                           out_p, out_d, out_c)
             if out_p:
                 yield pd.DataFrame({
                     "pattern": np.concatenate(out_p),
@@ -251,12 +363,41 @@ def _make_candidate_kernel(pat_edits: dict[str, int]):
 def _make_scan_kernel(patterns: list[str], pat_edits: dict[str, int]):
     """Verify kernel for the scan path: the pattern list rides in the
     closure (query-batch-sized), so the corpus text is read and shipped
-    ONCE — not crossJoin-fanned per pattern."""
+    ONCE — not crossJoin-fanned per pattern.  Banded-eligible patterns
+    (e < m) share one all-windows start vector over the batch's
+    concatenated buffer, so the DP again runs per pattern per batch;
+    e >= m patterns keep the per-doc full-width DP."""
+    max_m = max((len(p) for p in patterns), default=1)
+    max_e = max(pat_edits.values(), default=0)
+    pad = max_m + max_e + 1
+    banded = [p for p in patterns if 0 <= pat_edits[p] < len(p)]
+    fullw = [p for p in patterns if p not in banded]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             out_p, out_d, out_c = [], [], []
+            if banded:
+                texts = pdf["text"].tolist()
+                big, offs, lens = _concat_docs(texts, pad)
+                doc_ids = pdf["doc_id"].to_numpy()
+                nz = lens > 0
+                if nz.any():
+                    starts = np.concatenate([
+                        np.arange(n, dtype=np.int64) + o
+                        for o, n in zip(offs[nz], lens[nz])
+                    ])
+                    ends = np.repeat(offs[nz] + lens[nz], lens[nz])
+                    for pattern in banded:
+                        hits = _banded_core(
+                            _codepoints(pattern), big, starts, ends,
+                            pat_edits[pattern],
+                        )
+                        _emit_hits(pattern, hits, offs, doc_ids,
+                                   out_p, out_d, out_c)
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for pattern in patterns:
+                for pattern in fullw:
                     pos = approx_positions_np(
                         pattern, text, pat_edits[pattern]
                     )
