@@ -96,6 +96,14 @@ def _anchor_starts(anchors, e: int, n: int) -> np.ndarray:
     return s[(s >= 0) & (s < n)]
 
 
+# Cap on starts per DP sweep: bounds the band/cur/tchars working set to
+# ~O(_CHUNK · (2e+1) · 4B) per task regardless of how many large docs an
+# Arrow batch holds (the scan path's start vector is every char of every
+# doc in the batch).  Chunks are independent — each start's verdict
+# depends only on its own window.
+_BANDED_CHUNK = 1 << 21
+
+
 def _banded_core(
     pat: np.ndarray,
     big: np.ndarray,
@@ -124,6 +132,12 @@ def _banded_core(
     m = len(pat)
     if m == 0 or len(starts) == 0:
         return np.empty(0, dtype=np.int64)
+    if len(starts) > _BANDED_CHUNK:
+        return np.concatenate([
+            _banded_core(pat, big, starts[i:i + _BANDED_CHUNK],
+                         ends[i:i + _BANDED_CHUNK], e)
+            for i in range(0, len(starts), _BANDED_CHUNK)
+        ])
     width = 2 * e + 1
     INF = np.int32(2 ** 30)
     # band[:, d] = D[r][j] with j = r + (d - e); row 0: D[0][j] = j

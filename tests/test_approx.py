@@ -217,3 +217,23 @@ def test_anchor_starts_cover_every_hit_fuzz():
             hit0 = np.asarray(full, dtype=np.int64) - 1
             assert np.isin(hit0, starts0).all(), (pat, text, e)
     assert checked >= 30  # the fuzz actually exercised hit-bearing cases
+
+
+def test_banded_core_chunking_matches_unchunked(monkeypatch):
+    """The _BANDED_CHUNK memory guard splits the start vector into
+    independent sweeps; forcing a tiny chunk must not change the hit set
+    (chunks are independent because each start's verdict depends only on
+    its own window)."""
+    import full_text_index_spark.approx as A
+
+    rng = random.Random(913)
+    for _ in range(40):
+        alpha = "abc"
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(5, 80)))
+        pat = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 6)))
+        e = rng.randint(0, min(2, len(pat) - 1))
+        want = A._approx_positions_banded(pat, text, e).tolist()
+        monkeypatch.setattr(A, "_BANDED_CHUNK", 3)
+        got = A._approx_positions_banded(pat, text, e).tolist()
+        monkeypatch.undo()
+        assert got == want, (pat, text, e)
