@@ -1276,7 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-checked since r3 (ANN/textstats/multimodal family), then the 24 ops
     # whose only green row is r4, then twice/thrice-green fillers.  The 23
     # multiply-green core entries (4 rounds of green rows each) rotate past
-    # position 49; tools/parity_check.py still exercises all 73 every run.
+    # position 49; tools/parity_check.py still exercises all 74 every run.
     return {
         # -- never driver-checked (r1-r4) -----------------------------------
         "search_page": _q_search_page,

@@ -58,6 +58,10 @@ def tombstones_path(root: str) -> str:
 def _invalidate(index: InvertedIndex) -> None:
     index._tombstones_df_cache = False
     index._tombstone_count_cache = None
+    blobs = getattr(index, "_tombstone_blobs_cache", False)
+    if blobs is not False and blobs is not None:
+        blobs.unpersist()
+    index._tombstone_blobs_cache = False
 
 
 def delete_docs(index: InvertedIndex, doc_ids) -> int:
@@ -147,9 +151,19 @@ def tombstone_segment_blobs(index: InvertedIndex) -> DataFrame | None:
     mapInPandas input so each task masks with ONLY its segments'
     tombstones (shuffled by the same pmod(doc_id, n_segments) rule the
     build uses, build.py:463-466).  Fully distributed: per-segment
-    volume is total/n_segments and never touches the driver."""
+    volume is total/n_segments and never touches the driver.
+
+    Cached per index instance (persisted + materialized on first use,
+    unpersisted by ``_invalidate``): the blob set is deterministic per
+    delete state, and an interactive caller issues MANY bm25 batches per
+    state — without the cache every batch re-shuffles the entire
+    tombstone set to recompute n_segments tiny rows."""
+    cached = getattr(index, "_tombstone_blobs_cache", False)
+    if cached is not False:
+        return cached
     tdf = tombstones_df(index)
     if tdf is None:
+        index._tombstone_blobs_cache = None
         return None
     from full_text_index_spark.codec import encode_gaps
 
@@ -164,13 +178,17 @@ def tombstone_segment_blobs(index: InvertedIndex) -> DataFrame | None:
             }
         )
 
-    return (
+    blobs = (
         tdf.withColumn(
             "segment", F.pmod(F.col("doc_id"), F.lit(nseg)).cast("int")
         )
         .groupBy("segment")
         .applyInPandas(enc, "segment int, doc_blob binary")
+        .persist()
     )
+    blobs.count()  # materialize once; n_segments small rows
+    index._tombstone_blobs_cache = blobs
+    return blobs
 
 
 def mask_deleted(index: InvertedIndex, df: DataFrame,

@@ -10,6 +10,13 @@ Scale notes: exact dedup is one hash-groupBy; shingle/minhash/simhash
 self-joins are blocked by (band/bucket) keys so the join fan-out is bounded
 by bucket size, the standard LSH trick for 10^12-row dedup; skewed buckets
 are AQE-handled and can be salted by raising bands.
+
+Cache contract: the pair ops persist their blocking tables (band/bucket
+rows) so the self-join's build side computes once instead of re-running
+its lineage per probe.  The entries stay pinned for the SparkSession —
+Spark cannot unpersist a lazy result's inputs before the caller acts on
+it — so a long-lived session interleaving many UNRELATED dedup batches
+should ``spark.catalog.clearCache()`` between them (bench.py does).
 """
 
 from __future__ import annotations

@@ -1231,45 +1231,95 @@ def _best_windows(occ: DataFrame, width: int) -> DataFrame:
     difference array: occurrence k is the FIRST of its term inside every
     window whose start lies in (max(pos[k]−width, prev_same_term[k]),
     pos[k]] — three searchsorteds and one cumsum, no Python loop over
-    occurrences."""
+    occurrences.
+
+    Execution shape: per-(qid, doc) groups are a few KB, so a plain
+    ``groupBy().applyInPandas`` gets AQE-coalesced into 1-2 serial tasks
+    (the measured small-pandas-stage trap — CLAUDE.md / bm25 kernel).
+    Instead the sweep runs as ONE whole-batch kernel per task behind an
+    explicit AQE-exempt ``repartition(n, qid, doc_id)``: groups are mapped
+    onto disjoint coordinate ranges (``pos + gid·(max_pos+width+1)``) so a
+    single set of global searchsorteds/difference-arrays evaluates every
+    group at once — no per-group Python loop, full task parallelism."""
     _i64min = np.iinfo(np.int64).min
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pos = pdf["tpos"].to_numpy(dtype=np.int64)
-        codes = pd.factorize(pdf["term"])[0].astype(np.int64)
-        order = np.argsort(pos, kind="stable")
-        pos, codes = pos[order], codes[order]
+    def sweep(whole: pd.DataFrame) -> pd.DataFrame:
+        qid = whole["qid"].to_numpy(dtype=np.int64)
+        did = whole["doc_id"].to_numpy(dtype=np.int64)
+        pos = whole["tpos"].to_numpy(dtype=np.int64)
+        tcode = pd.factorize(whole["term"])[0].astype(np.int64)
+        order = np.lexsort((pos, did, qid))
+        qid, did, pos, tcode = (
+            qid[order], did[order], pos[order], tcode[order]
+        )
         n = len(pos)
-        # previous occurrence position of the same term (or -inf): pos is
-        # sorted, so a stable sort by code keeps per-term position order
-        byterm = np.argsort(codes, kind="stable")
-        c_s, p_s = codes[byterm], pos[byterm]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (qid[1:] != qid[:-1]) | (did[1:] != did[:-1])
+        gid = np.cumsum(newg) - 1
+        gstart = np.flatnonzero(newg)
+        # disjoint per-group coordinate ranges: a window anchored in group
+        # g ends before group g+1 starts, so the global searchsorteds
+        # below can never read across a group boundary on the high side
+        off = int(pos.max()) + width + 1
+        gpos = pos + gid * off
+        # previous occurrence position of the same (group, term), or -inf:
+        # gpos is sorted, so a stable sort by the combined key keeps
+        # per-(group, term) position order
+        ckey = gid * (int(tcode.max()) + 1) + tcode
+        byterm = np.argsort(ckey, kind="stable")
+        c_s, p_s = ckey[byterm], gpos[byterm]
         prev_s = np.full(n, _i64min, dtype=np.int64)
         same = np.flatnonzero(c_s[1:] == c_s[:-1]) + 1
         prev_s[same] = p_s[same - 1]
         prev = np.empty(n, dtype=np.int64)
         prev[byterm] = prev_s
-        ends = np.searchsorted(pos, pos + width, side="left")
+        ends = np.searchsorted(gpos, gpos + width, side="left")
         n_occ = ends - np.arange(n)
-        lo = np.searchsorted(pos, np.maximum(pos - width, prev), side="right")
-        hi = np.searchsorted(pos, pos, side="right")
+        lo = np.searchsorted(
+            gpos, np.maximum(gpos - width, prev), side="right"
+        )
+        # gpos−width may dip into the previous group's range; clamp the
+        # low side to the row's own group start
+        lo = np.maximum(lo, gstart[gid])
+        hi = np.searchsorted(gpos, gpos, side="right")
         add = np.zeros(n + 1, dtype=np.int64)
         np.add.at(add, lo, 1)
         np.add.at(add, hi, -1)
         n_terms = np.cumsum(add[:-1])
-        best = int(np.lexsort((pos, -n_occ, -n_terms))[0])
+        # winner per group: first row in (gid, n_terms desc, n_occ desc,
+        # start asc) order — gid is the primary key, so gid[ord2] is
+        # non-decreasing and np.unique's first-occurrence indexes are the
+        # block heads
+        ord2 = np.lexsort((pos, -n_occ, -n_terms, gid))
+        firsts = ord2[np.unique(gid[ord2], return_index=True)[1]]
         return pd.DataFrame(
             {
-                "qid": [pdf["qid"].iloc[0]],
-                "doc_id": [pdf["doc_id"].iloc[0]],
-                "start": [pos[best]],
-                "n_terms": [n_terms[best]],
-                "n_occ": [n_occ[best]],
+                "qid": qid[firsts],
+                "doc_id": did[firsts],
+                "start": pos[firsts],
+                "n_terms": n_terms[firsts],
+                "n_occ": n_occ[firsts],
             }
         )
 
-    return occ.groupBy("qid", "doc_id").applyInPandas(
-        kern, "qid long, doc_id long, start long, n_terms long, n_occ long"
+    def sweep_partition(batches):
+        # a group must never split across Arrow batches — concatenate the
+        # task's input first (same contract as the bm25 kernel)
+        pdfs = [b for b in batches]
+        if pdfs:
+            whole = pd.concat(pdfs, ignore_index=True)
+            if len(whole):
+                yield sweep(whole)
+
+    dp = max(occ.sparkSession.sparkContext.defaultParallelism, 1)
+    return (
+        occ.select("qid", "doc_id", "term", "tpos")
+        .repartition(max(2 * dp, 8), "qid", "doc_id")
+        .mapInPandas(
+            sweep_partition,
+            schema="qid long, doc_id long, start long, n_terms long, n_occ long",
+        )
     )
 
 
@@ -1352,34 +1402,11 @@ def search_page(
     CONJUNCTIVE match set (the sidebar truth, not top-k-truncated),
     suggestions — '|'-joined completions of the query's prefix by
     (cf desc, term))."""
-    from full_text_index_spark.tokenizer import tokens_col
-
-    spark = index.spark
     qcore = queries.select("qid", "terms")
-    qterms = qcore.select(
-        "qid", F.explode(F.array_distinct("terms")).alias("term")
-    )
-    hits_pd = bm25_topk(index, qcore, k=k).toPandas()
-    hits = spark.createDataFrame(
-        hits_pd, "qid long, rank int, doc_id long, score double"
-    )
-    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
-    occ = (
-        term_positions(index, terms, within_docs=hits_pd["doc_id"].tolist())
-        .join(qterms, "term")
-        .join(hits.select("qid", "doc_id"), ["qid", "doc_id"], "left_semi")
-    )
-    best = _best_windows(occ, width)
-    snip = (
-        hits.join(best, ["qid", "doc_id"])
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "qid", "rank", "doc_id", "score", "start", "n_terms", "n_occ",
-            F.array_join(
-                F.slice(tokens_col(F.col("text")), F.col("start"), width), " "
-            ).alias("snippet"),
-        )
-    )
+    # the ranked-hits + best-window + snippet flow IS ranked_snippets —
+    # one call keeps the two pipelines in lockstep (the scoring kernel
+    # still runs exactly once for the whole page)
+    snip = ranked_snippets(index, docs, qcore, k=k, width=width)
     # facet sidebar: '|'-joined on the CONCATENATED string so the sort is
     # byte-deterministic cross-engine even when facet values share prefixes
     fc = facet_counts(index, doc_facets, qcore, facet_col=facet_col)
