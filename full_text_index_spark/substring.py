@@ -1082,16 +1082,25 @@ def substring_locate_ci(
     (decode volume = the cover grams' posting lists, like the exact
     plan), aligned starts needing a hit in EVERY slot become candidates,
     and a text join confirms lower(substr) equality.  Patterns shorter
-    than k case-fold the corpus through the same codegen'd scan the
-    exact path uses (positions survive folding — ASCII-stable casing;
-    multi-byte case pairs that change string length are out of scope,
-    like the byte-domain workload notes in workload.py).
+    than k expand to their <= 2^(k-1) case variants and ride the INDEXED
+    short-pattern locate (prefix-gram + tails — no corpus access): a
+    window matches case-insensitively iff its verbatim text is one of
+    the variants, and each occurrence carries exactly one casing, so the
+    variant union is exact and duplicate-free.  Only an index without a
+    tails table (or index=None) falls back to case-folding the corpus
+    through the codegen'd scan (positions survive folding — ASCII-stable
+    casing; multi-byte case pairs that change string length are out of
+    scope, like the byte-domain workload notes in workload.py).
     """
     spark = docs.sparkSession
     patterns = list(dict.fromkeys(patterns))
     k = _gram_k(index) if index is not None else None
     idx_pats = [p for p in patterns if index is not None and len(p) >= k]
-    scan_pats = [p for p in patterns if p not in idx_pats]
+    short_indexable = index is not None and bool(index.meta.get("tails"))
+    short_pats = [p for p in patterns
+                  if p not in idx_pats and short_indexable]
+    scan_pats = [p for p in patterns
+                 if p not in idx_pats and p not in short_pats]
     parts: list[DataFrame] = []
     if idx_pats:
         slot_rows = []
@@ -1131,6 +1140,19 @@ def substring_locate_ci(
                    F.col("lpat"))
             .select(F.col("pat").alias("pattern"), "doc_id",
                     F.col("start").cast("long").alias("cpos"))
+        )
+    if short_pats:
+        var_rows = sorted({(p, v) for p in short_pats
+                           for v in _case_variants(p)})
+        vmap = spark.createDataFrame(
+            var_rows, "pattern string, variant string"
+        )
+        variants = sorted({v for _, v in var_rows})
+        parts.append(
+            substring_locate_short(index, variants)
+            .select(F.col("pattern").alias("variant"), "doc_id", "cpos")
+            .join(F.broadcast(vmap), "variant")
+            .select("pattern", "doc_id", "cpos")
         )
     if scan_pats:
         folded = docs.select(

@@ -419,7 +419,7 @@ def test_substring_locate_ci_matches_brute(ci_setup):
     from full_text_index_spark.substring import substring_locate_ci
 
     idx, docs = ci_setup
-    pats = ["quick", "QUICK B", "Fox J", "dog", "zz", "ZZQ"]
+    pats = ["quick", "QUICK B", "Fox J", "dog", "zz", "ZZQ", "qU", "Q"]
     want = {}
     for p in pats:
         lp = p.lower()
