@@ -546,10 +546,14 @@ def _kmeans_step(memb, id_col, vec_col):
         # would round differently than the oracle's
         "sval", F.floor(F.col("val").cast("double") * CENT_SCALE).cast("long")
     )
-    sums = dims.groupBy("cent_id", "dim").agg(F.sum("sval").alias("sum_sval"))
-    ns = memb.groupBy("cent_id").agg(F.count("*").alias("n"))
+    # every member contributes exactly one row per dim, so count(*) per
+    # (cent_id, dim) IS the member count — no second memb aggregation or
+    # join needed; same n, same mean, one shuffle per pass instead of three
+    sums = dims.groupBy("cent_id", "dim").agg(
+        F.sum("sval").alias("sum_sval"), F.count(F.lit(1)).alias("n")
+    )
     return (
-        sums.join(ns, "cent_id")
+        sums
         .withColumn("mean", F.col("sum_sval") / (F.col("n") * float(CENT_SCALE)))
         .groupBy("cent_id")
         .agg(
