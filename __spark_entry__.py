@@ -2239,6 +2239,7 @@ fg AS (
 )
 SELECT fg.qid::BIGINT AS qid, d.source AS facet, count(*)::BIGINT AS n_docs
 FROM fg JOIN documents d ON d.doc_id = fg.doc_id
+WHERE d.source IS NOT NULL  -- engine skips NULL facets (facet_counts)
 GROUP BY fg.qid, d.source
 ORDER BY qid, facet
 """.strip()

@@ -257,7 +257,7 @@ def main() -> None:
                   .collect())
             timed("ann_ivf_topk",
                   lambda: S.ivf_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
-                  .collect())
+                  .collect(), fresh_cache=True)
             timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())
             timed("quality_score", lambda: TS.quality_score(docs).count())
             timed("curation_pipeline", lambda: PL.curate(docs).count())

@@ -316,8 +316,14 @@ def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     from pyspark import StorageLevel
 
     rows_per_band = n_funcs // bands
+    # Band j covers funcs [j*rpb, (j+1)*rpb) for ALL n_funcs functions —
+    # when bands does not divide n_funcs the remainder forms one short
+    # trailing band (slice past the array end returns the tail), matching
+    # the oracle's `j // rpb` banding; dropping those funcs would silently
+    # lose candidate pairs that agree only on the partial band.
+    n_band_slots = -(-n_funcs // rows_per_band)
     band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
+        F.sequence(F.lit(0), F.lit(n_band_slots - 1)),
         lambda b: F.concat_ws(
             ",",
             F.transform(

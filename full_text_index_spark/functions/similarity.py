@@ -601,6 +601,13 @@ def ivf_cosine_topk(
     scoring (VERDICT r02 #1).
     Output (qid, rank, vec_id, sim_i); approximate by construction, but
     deterministic — oracle applies the identical plan.
+
+    Cache contract: the normed corpus (and, with ``stats``, the candidate
+    set) stays persisted after return — the returned plan references it
+    from three sub-plans, so unpersisting here would recompute the norm
+    pass per reference.  Long-lived sessions calling this over many
+    distinct embedding sets should `spark.catalog.clearCache()` between
+    batches (same contract as dedup.minhash_lsh_pairs' band table).
     """
     # norms computed ONCE and cached across every Lloyd pass, the final
     # assignment and the query-side scoring (VERDICT r04 #8: the three

@@ -76,6 +76,20 @@ def _bucket_labels(spark, n: int) -> list[int]:
     return _PARTITION_LABELS[n]
 
 
+def _whole_partition(kernel):
+    """Wrap a pandas kernel for `mapInPandas` so it sees the task's WHOLE
+    input at once: Arrow delivers a partition as multiple batches, and a
+    kernel whose groups must never split across batches (the bm25 MaxScore
+    kernel, the best-window sweep) has to concatenate them first."""
+    def run(batches):
+        pdfs = [b for b in batches]
+        if pdfs:
+            whole = pd.concat(pdfs, ignore_index=True)
+            if len(whole):
+                yield kernel(whole)
+    return run
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), RANK_ROUND).desc(), F.col("doc_id").asc()
@@ -262,19 +276,13 @@ def bm25_topk(
         label_arr, (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int")
     )
 
-    def kernel_partition(batches):
-        pdfs = [b for b in batches]
-        if pdfs:
-            whole = pd.concat(pdfs, ignore_index=True)
-            if len(whole):
-                yield kernel(whole)
-
     seg_topk = (
         mp.withColumn("pkey", route)
         .repartition(n_buckets, "pkey")
         .drop("pkey")
         .mapInPandas(
-            kernel_partition, schema="sid long, doc_id long, score double"
+            _whole_partition(kernel),
+            schema="sid long, doc_id long, score double",
         )
     )
     # rank per SET, then fan out to qids JVM-side (broadcast join): the
@@ -1303,21 +1311,12 @@ def _best_windows(occ: DataFrame, width: int) -> DataFrame:
             }
         )
 
-    def sweep_partition(batches):
-        # a group must never split across Arrow batches — concatenate the
-        # task's input first (same contract as the bm25 kernel)
-        pdfs = [b for b in batches]
-        if pdfs:
-            whole = pd.concat(pdfs, ignore_index=True)
-            if len(whole):
-                yield sweep(whole)
-
     dp = max(occ.sparkSession.sparkContext.defaultParallelism, 1)
     return (
         occ.select("qid", "doc_id", "term", "tpos")
         .repartition(max(2 * dp, 8), "qid", "doc_id")
         .mapInPandas(
-            sweep_partition,
+            _whole_partition(sweep),
             schema="qid long, doc_id long, start long, n_terms long, n_occ long",
         )
     )
@@ -1645,6 +1644,10 @@ def facet_counts(
     return (
         fg.join(doc_facets.select("doc_id",
                                   F.col(facet_col).alias("facet")), "doc_id")
+        # a NULL facet value means "doc has no facet": skip it (ES terms
+        # aggs skip missing fields; search_page's concat_ws would otherwise
+        # emit a nameless ':n' sidebar entry the oracle's `||` drops)
+        .where(F.col("facet").isNotNull())
         .groupBy("qid", "facet")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -1148,9 +1148,14 @@ def substring_locate_ci(
             var_rows, "pattern string, variant string"
         )
         variants = sorted({v for _, v in var_rows})
+        # Semi-join against `docs` so a caller passing a filtered subset
+        # gets the same corpus restriction the >=k path's text-confirm
+        # join and the scan path already apply (the index itself covers
+        # every built doc, which may be a superset of `docs`).
         parts.append(
             substring_locate_short(index, variants)
             .select(F.col("pattern").alias("variant"), "doc_id", "cpos")
+            .join(docs.select("doc_id"), "doc_id", "left_semi")
             .join(F.broadcast(vmap), "variant")
             .select("pattern", "doc_id", "cpos")
         )

@@ -53,6 +53,18 @@ def test_minhash_lsh_candidates(docs):
     assert (1, 7) not in pairs        # disjoint docs share none
 
 
+def test_minhash_lsh_partial_band_not_dropped(spark):
+    """When bands does not divide n_funcs, the trailing funcs form a short
+    band (matching the oracle's j // rpb banding) instead of being dropped:
+    identical docs agree on ALL ceil(n_funcs/rpb) band slots, including the
+    partial one — 10 funcs / 4 bands = rpb 2 -> 5 slots, not 4."""
+    a = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, a), (2, a)], "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in
+             D.minhash_lsh_pairs(docs, n_funcs=10, bands=4).collect()}
+    assert pairs[(1, 2)] == 5
+
+
 def test_minhash_is_jaccard_estimator(spark):
     """Minhash agreement rate ≈ true Jaccard (within a loose tolerance)."""
     a = " ".join(f"w{i}" for i in range(60))

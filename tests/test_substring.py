@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from full_text_index_spark.build import prepare_corpus
 from full_text_index_spark.index import InvertedIndex
@@ -440,6 +441,28 @@ def test_substring_locate_ci_matches_brute(ci_setup):
         got_scan.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
     got_scan = {k: sorted(v) for k, v in got_scan.items()}
     assert got_scan == want
+
+
+def test_substring_locate_ci_docs_subset_restricts_all_paths(ci_setup):
+    """A filtered `docs` subset restricts EVERY length class the same way:
+    the sub-k indexed short path must not leak hits from indexed docs
+    outside the subset (it answers from the index, so it semi-joins docs)."""
+    from full_text_index_spark.substring import substring_locate_ci
+
+    idx, docs = ci_setup
+    keep = docs.where(F.col("doc_id") == 0)
+    pats = ["qU", "Q", "quick", "Fox J"]  # sub-k and >=k in one call
+    want = {}
+    for p in pats:
+        lp, t = p.lower(), CI_TEXTS[0].lower()
+        pos = [j + 1 for j in range(len(t) - len(lp) + 1)
+               if t[j:j + len(lp)] == lp]
+        if pos:
+            want[(p, 0)] = sorted(pos)
+    got = {}
+    for r in substring_locate_ci(idx, keep, pats).collect():
+        got.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    assert {k: sorted(v) for k, v in got.items()} == want
 
 
 def test_substring_count_ci_zero_fill(ci_setup):
