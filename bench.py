@@ -249,12 +249,13 @@ def main() -> None:
                 lambda: S.embedding_near_pairs(
                     emb, threshold=entrymod.EMB_NEARDUP_THRESHOLD
                 ).count(),
+                fresh_cache=True,
             )
             timed("ann_cosine_topk",
                   lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10).collect())
             timed("ann_lsh_topk",
                   lambda: S.lsh_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
-                  .collect())
+                  .collect(), fresh_cache=True)
             timed("ann_ivf_topk",
                   lambda: S.ivf_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
                   .collect(), fresh_cache=True)

@@ -534,11 +534,19 @@ def approx_locate(
                          schema=out_schema)
         )
     if scanned:
-        parts.append(
+        scan_part = (
             docs.select("doc_id", "text")
             .mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
                          schema=out_schema)
         )
+        if index is not None:
+            # the pruned branch masks tombstones via the positional decode;
+            # the scan branch must apply the same delete semantics or one
+            # call mixes deleted and live docs by pattern length
+            from full_text_index_spark.deletes import mask_deleted
+
+            scan_part = mask_deleted(index, scan_part)
+        parts.append(scan_part)
     if not parts:
         return spark.createDataFrame([], out_schema)
     out = parts[0]

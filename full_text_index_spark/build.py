@@ -389,11 +389,17 @@ def _clean_stale_index(paths: IndexPaths) -> None:
     (short_stats, tails) are included: a rebuild only dynamically overwrites
     generation=0, so generation>=1 partitions left by a previously-appended
     index would survive and be summed into short-pattern counts (ADVICE
-    r03)."""
+    r03).  The docs table and tombstones go too: a rebuild whose corpus
+    already carries doc_id skips the docs write, so a surviving docs
+    parquet from the PREVIOUS corpus would feed build_gram_index's
+    tails/short_stats (and stale tombstones would mask unrelated fresh
+    doc_ids)."""
     import shutil
 
     for d in (paths.postings, paths.doc_stats, paths.term_stats,
               paths.manifest_dir,
+              os.path.join(paths.root, "docs"),
+              os.path.join(paths.root, "tombstones"),
               os.path.join(paths.root, "short_stats"),
               os.path.join(paths.root, "tails")):
         shutil.rmtree(d, ignore_errors=True)

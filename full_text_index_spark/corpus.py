@@ -59,9 +59,13 @@ def _vocab(size: int = VOCAB_SIZE) -> list[str]:
     return out
 
 
-def generate_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+def generate_corpus_pdf(n_docs: int, seed: int = 42,
+                        singleton: bool = True) -> pd.DataFrame:
     """Generate ``n_docs`` pages as a pandas DataFrame (driver-side; used for
-    tiny/small fixtures — the bench corpus is generated distributed below)."""
+    tiny/small fixtures — the bench corpus is generated distributed below).
+    ``singleton`` appends the guaranteed-df-1 token to doc 0; the
+    distributed generator sets it for the GLOBAL first slice only, so the
+    corpus-wide guarantee stays df=1 instead of df=n_partitions."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(), dtype=object)
     # Zipf(s=1.07) over ranks 1..V
@@ -76,7 +80,8 @@ def generate_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
         toks = vocab[rng.choice(len(vocab), size=doclens[i], p=probs)]
         texts.append(" ".join(toks.tolist()))
     # singleton guarantee: append a unique token to doc 0
-    texts[0] = texts[0] + " singletonterm0"
+    if singleton:
+        texts[0] = texts[0] + " singletonterm0"
     urls = [f"https://site{i % 503}.example/page/{i}" for i in range(n_docs)]
     ts = [_BASE_TS + _dt.timedelta(seconds=37 * i) for i in range(n_docs)]
     langs = ["en" if i % 20 < 19 else ("de" if i % 40 < 20 else "fr") for i in range(n_docs)]
@@ -101,7 +106,8 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
             for lo, hi, part_seed in pdf.itertuples(index=False):
                 if hi <= lo:
                     continue
-                out = generate_corpus_pdf(int(hi - lo), seed=int(part_seed))
+                out = generate_corpus_pdf(int(hi - lo), seed=int(part_seed),
+                                          singleton=(lo == 0))
                 out["url"] = [
                     f"https://site{i % 503}.example/page/{i}" for i in range(lo, hi)
                 ]

@@ -315,6 +315,11 @@ def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     re-executes the lineage for each side, doubling the kernel cost."""
     from pyspark import StorageLevel
 
+    if not 1 <= bands <= n_funcs:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands must satisfy 1 <= bands <= n_funcs "
+            f"(got bands={bands}, n_funcs={n_funcs})"
+        )
     rows_per_band = n_funcs // bands
     # Band j covers funcs [j*rpb, (j+1)*rpb) for ALL n_funcs functions —
     # when bands does not divide n_funcs the remainder forms one short

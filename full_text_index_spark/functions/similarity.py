@@ -289,8 +289,16 @@ def lsh_cosine_topk(
     (1 + n_planes·radius)·bucket_pop per (query, table).  Pass
     ``n_vectors`` (or an explicit ``n_planes``) to skip the adaptive
     default's corpus-count job."""
+    from pyspark import StorageLevel
+
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors)
-    banded = _banded(embeddings, id_col, vec_col, n_planes, n_tables)
+    # persisted: the banded table feeds BOTH legs below (the query-side
+    # probe subset and the corpus side of the broadcast join) — un-persisted,
+    # each leg re-executes the n_tables×n_planes bucket kernel over all N
+    # vectors (the same double-execution dedup.minhash_lsh_pairs documents);
+    # same cache contract: clearCache() between batches in long sessions
+    banded = _banded(embeddings, id_col, vec_col, n_planes, n_tables) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     qb = banded.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), "tbl", F.col("bucket").alias("qbucket")
     )
@@ -357,8 +365,13 @@ def embedding_near_pairs(
     blocking is approximate-but-deterministic — the DuckDB oracle applies
     the identical planes, so results match exactly.
     Output (vec_a, vec_b, sim_i = floor(cos·10^4)) with vec_a < vec_b."""
+    from pyspark import StorageLevel
+
     n_planes = _resolve_planes(embeddings, n_planes, n_vectors)
-    banded = _banded(embeddings, id_col, vec_col, n_planes, n_tables)
+    # persisted for the same reason as minhash_lsh_pairs' band table: the
+    # self-join would otherwise execute the bucket kernel once PER SIDE
+    banded = _banded(embeddings, id_col, vec_col, n_planes, n_tables) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -540,12 +540,22 @@ def _make_maxscore_kernel(k1: float, b: float, avgdl: float, k: int,
         maxscore_sets: list[tuple] = []
         dense_sets: list[tuple] = []
         if heavy_sets:
-            universe = np.unique(
-                np.concatenate(
-                    [full_decode(r)[0] for rs in term_rows.values() for r in rs]
-                )
-            )
+            # universe covers only the HEAVY sets' terms — decoding every
+            # term in the batch here would force full decode of rows the
+            # bulk path never touches and blocks MaxScore would have
+            # skipped (decode results are row-cached, so nothing decodes
+            # twice either way)
+            heavy_terms = sorted({
+                t for sid in heavy_sets for t in terms_by_sid[sid]
+                if t in term_rows
+            })
+            u_arrs = [full_decode(r)[0]
+                      for t in heavy_terms for r in term_rows[t]]
+            universe = (np.unique(np.concatenate(u_arrs)) if u_arrs
+                        else np.empty(0, dtype=np.int64))
             for sid in heavy_sets:
+                if not any(t in term_rows for t in terms_by_sid[sid]):
+                    continue  # no postings in this segment -> no scores
                 v = sum(df_by_term.get(t, 0) for t in terms_by_sid[sid])
                 (dense_sets if v >= 0.25 * len(universe) else
                  maxscore_sets).append(sid)
@@ -1674,7 +1684,15 @@ def wildcard_term_search(index: InvertedIndex,
     is collected to the driver, so `a*` with 10^6 expansions plans the
     same as `rare*` with 3.
     Output: (pattern, n_terms, n_occurrences, n_docs_matching),
-    zero-filled for patterns matching no term."""
+    zero-filled for patterns matching no term.
+
+    Delete semantics (deletes.py contract): n_terms/n_occurrences are
+    DICTIONARY statistics and stay physical until compaction (they may
+    count tombstoned postings); n_docs_matching is a doc-level result and
+    excludes tombstoned docs immediately.  After deleting every doc a
+    term appears in, a row can therefore read n_docs_matching=0 with
+    n_occurrences>0 until ``compact`` runs — the same split Lucene
+    exposes between docFreq() and live-doc counts between merges."""
     spark = index.spark
     patterns = list(dict.fromkeys(patterns))
     pdf = spark.createDataFrame(

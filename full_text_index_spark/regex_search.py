@@ -468,12 +468,20 @@ def regex_docs(
     if scanned:
         sdf = spark.createDataFrame([(p,) for p in scanned],
                                     "pattern string")
-        parts.append(
+        scan_part = (
             docs.select("doc_id", "text")
             .crossJoin(F.broadcast(sdf))
             .where(F.expr("text rlike pattern"))
             .select("pattern", "doc_id")
         )
+        if index is not None:
+            # same delete semantics as the pruned branch (which masks via
+            # substring_locate): a literal-free regex must not resurface
+            # tombstoned docs
+            from full_text_index_spark.deletes import mask_deleted
+
+            scan_part = mask_deleted(index, scan_part)
+        parts.append(scan_part)
     if not parts:
         return spark.createDataFrame([], "pattern string, doc_id long")
     out = parts[0]

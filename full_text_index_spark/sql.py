@@ -73,11 +73,13 @@ class MatchRewriter:
     """
 
     def __init__(self, spark: SparkSession, index: InvertedIndex,
-                 corpus: DataFrame | None = None, id_col: str = "doc_id"):
+                 corpus: DataFrame | None = None, id_col: str = "doc_id",
+                 text_col: str = "text"):
         self.spark = spark
         self.index = index
         self.corpus = corpus
         self.id_col = id_col
+        self.text_col = text_col
 
     def _terms(self, fn: str, terms_str: str) -> list[str]:
         from full_text_index_spark.tokenizer import tokenize_py
@@ -123,6 +125,16 @@ class MatchRewriter:
         exposed separately so tests and EXPLAIN can inspect it."""
 
         def sub(m: re.Match) -> str:
+            # one index = one indexed text column: silently resolving
+            # match(title, ...) against the text index would answer a
+            # different question than the user asked
+            col = m.group(2).rsplit(".", 1)[-1]
+            if col.lower() != self.text_col.lower():
+                raise ValueError(
+                    f"{m.group(1)}({m.group(2)}, ...): this rewriter's index "
+                    f"covers column {self.text_col!r}; build a separate "
+                    f"index/rewriter for {col!r}"
+                )
             view = f"__fti_match_{next(_VIEW_SEQ)}"
             self._match_docs(m.group(1), m.group(3)).createOrReplaceTempView(
                 view

@@ -54,8 +54,8 @@ def append_generation(
     *,
     n_segments: int = 8,
     block_size: int = BLOCK_SIZE_DEFAULT,
-    k1: float = K1_DEFAULT,
-    b: float = B_DEFAULT,
+    k1: float | None = None,
+    b: float | None = None,
     positions: bool = False,
     stream=None,
     unit: str = "token",
@@ -89,6 +89,17 @@ def append_generation(
                     f"append_generation: index at {out_dir} has immutable "
                     f"{key}={old[key]!r} but the append expects {val!r}"
                 )
+        # scoring parameters are inherited from the existing index unless
+        # the caller overrides them explicitly — an append must not silently
+        # reset a custom-k1/b index back to the defaults
+        if k1 is None:
+            k1 = float(old.get("k1", K1_DEFAULT))
+        if b is None:
+            b = float(old.get("b", B_DEFAULT))
+    if k1 is None:
+        k1 = K1_DEFAULT
+    if b is None:
+        b = B_DEFAULT
 
     base = generation << GEN_SHIFT
     docs = prepare_corpus(docs)

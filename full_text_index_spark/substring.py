@@ -925,12 +925,40 @@ def substring_count(index: InvertedIndex, patterns: list[str],
     the positional gram index — any length is answered from the index, like
     the reference.  ``stats`` forwards to substring_locate's chooser
     diagnostics (plan, cf estimates, decoded bytes)."""
+    from full_text_index_spark.deletes import tombstone_count
+
     patterns = list(dict.fromkeys(patterns))
     k = _gram_k(index)
     spark = index.spark
     short = [p for p in patterns if len(p) < k]
     exact_k = [p for p in patterns if len(p) == k]
     longp = [p for p in patterns if len(p) > k]
+    # With live tombstones the aggregate tables (short_stats, term_stats)
+    # still count deleted postings — Lucene's deferred-merge contract is
+    # fine for scoring stats, but count() is a QUERY result and the >k
+    # branch already masks via locate.  Route every length class through
+    # the masked locate so one result set has one delete semantics; the
+    # cheap lookup paths return once the index is compacted.
+    if tombstone_count(index) > 0:
+        if short:
+            pdf_s = spark.createDataFrame([(p,) for p in short],
+                                          "pattern string")
+            longp = list(longp)
+            parts0 = [_count_from_locate(
+                substring_locate_short(index, short), pdf_s)]
+        else:
+            parts0 = []
+        if exact_k:
+            longp = exact_k + longp
+        if longp:
+            pdf_l = spark.createDataFrame([(p,) for p in longp],
+                                          "pattern string")
+            parts0.append(_count_from_locate(
+                substring_locate(index, longp, stats=stats), pdf_l))
+        out = parts0[0]
+        for p in parts0[1:]:
+            out = out.unionByName(p)
+        return out
     parts = []
     if short:
         parts.append(substring_count_short(index, short))
@@ -1044,12 +1072,17 @@ def substring_search(
     share exact semantics, so the choice is purely a cost decision."""
     if index is None:
         return scan_substring_locate(docs, patterns)
+    from full_text_index_spark.deletes import mask_deleted
+
     k = _gram_k(index)
     if any(len(p) < k for p in patterns) and not index.meta.get("tails"):
-        return scan_substring_locate(docs, patterns)
+        # scan fallback must carry the index's delete semantics — the
+        # indexed path masks tombstones, so the cost-based routing must
+        # not change which docs are visible
+        return mask_deleted(index, scan_substring_locate(docs, patterns))
     corpus_bytes = index.meta.get("corpus_bytes")
     if corpus_bytes is not None and corpus_bytes < small_corpus_bytes:
-        return scan_substring_locate(docs, patterns)
+        return mask_deleted(index, scan_substring_locate(docs, patterns))
     return _locate_any(index, patterns)
 
 
@@ -1163,7 +1196,7 @@ def substring_locate_ci(
         folded = docs.select(
             "doc_id", F.lower(F.col("text")).alias("text")
         )
-        parts.append(
+        scan_part = (
             scan_substring_locate(folded, sorted({p.lower()
                                                   for p in scan_pats}))
             .select(F.col("pattern").alias("lpat"), "doc_id", "cpos")
@@ -1176,6 +1209,12 @@ def substring_locate_ci(
             )
             .select("pattern", "doc_id", "cpos")
         )
+        if index is not None:
+            # same delete semantics as the indexed branches above
+            from full_text_index_spark.deletes import mask_deleted
+
+            scan_part = mask_deleted(index, scan_part)
+        parts.append(scan_part)
     if not parts:
         return spark.createDataFrame([], "pattern string, doc_id long, cpos long")
     out = parts[0]

@@ -234,3 +234,16 @@ def test_doc_lengths_fast_path_matches_exploded_fallback(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_distributed_corpus_singleton_is_global(spark):
+    """generate_corpus (the distributed generator) must honor the df=1
+    singleton guarantee CORPUS-wide — only the global first doc carries
+    singletonterm0, not each partition's local doc 0."""
+    from pyspark.sql import functions as F
+
+    from full_text_index_spark.corpus import generate_corpus
+
+    docs = generate_corpus(spark, 200, n_partitions=8)
+    n = docs.where(F.col("text").contains("singletonterm0")).count()
+    assert n == 1

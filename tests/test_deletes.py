@@ -201,3 +201,98 @@ def test_deletes_excluded_from_search_layer_ops(del_setup, spark):
 
     rs = ranked_snippets(idx, docs, q, k=10, width=4)
     assert sorted(r["doc_id"] for r in rs.collect()) == [0, 2]
+
+
+def _gram_fixture(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(TEXTS)),
+        "url": [f"u://{i}" for i in range(len(TEXTS))],
+        "text": TEXTS,
+    })
+    docs = spark.createDataFrame(pdf)
+    root = str(tmp_path / "gidx2")
+    build_gram_index(spark, prepare_corpus(docs), root, k=3, n_segments=2,
+                     block_size=8)
+    return InvertedIndex.open(spark, root), docs
+
+
+def test_scan_fallbacks_exclude_deleted(spark, tmp_path):
+    """Cost-based routing to a corpus scan must not change which docs are
+    visible: the approx scanned branch, the literal-free regex branch and
+    substring_search's small-corpus scan all mask tombstones like the
+    indexed plans they substitute for."""
+    from full_text_index_spark.approx import approx_locate
+    from full_text_index_spark.regex_search import regex_docs
+    from full_text_index_spark.substring import substring_search
+
+    gidx, docs = _gram_fixture(spark, tmp_path)
+    delete_docs(gidx, [0, 2])
+
+    # approx: 2-char pattern with e=1 -> q-gram threshold < 1 -> scan branch
+    got = sorted({r["doc_id"] for r in
+                  approx_locate(gidx, docs, ["sh"], max_edits=1).collect()})
+    assert 0 not in got and 2 not in got and got  # 1 and 4 still match
+
+    # regex with no required literal -> scan branch; 'everywhere' (doc 2,
+    # deleted) and 'unrelated' (doc 3) are the only 7+-letter runs
+    got = sorted({r["doc_id"] for r in
+                  regex_docs(gidx, docs, ["[a-z]{7,}"]).collect()})
+    assert got == [3]
+
+    # substring_search: tiny corpus_bytes routes to the scan
+    got = sorted({r["doc_id"] for r in
+                  substring_search(docs, gidx, ["shared wo"]).collect()})
+    assert got == [1, 4]
+
+
+def test_substring_count_masks_every_length_class(spark, tmp_path):
+    """With live tombstones, counts for len<k, len==k and len>k patterns
+    all exclude deleted docs (one result set, one delete semantics)."""
+    from full_text_index_spark.substring import substring_count
+
+    gidx, docs = _gram_fixture(spark, tmp_path)
+    texts_live = {i: t for i, t in enumerate(TEXTS) if i not in (0, 2)}
+    delete_docs(gidx, [0, 2])
+    pats = ["al", "sha", "shared wo"]  # len<k, len==k, len>k (k=3)
+    got = {r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+           for r in substring_count(gidx, pats).collect()}
+    for p in pats:
+        docs_m = [i for i, t in texts_live.items() if p in t]
+        occ = sum(t.count(p) for t in texts_live.values())
+        # overlapping counting: these patterns have no self-overlap, so
+        # str.count matches the engine's overlapping semantics here
+        assert got[p] == (len(docs_m), occ), p
+
+
+def test_rebuild_in_place_clears_docs_and_tombstones(spark, tmp_path):
+    """resume=False rebuild over an existing dir must not leave the old
+    corpus's docs parquet (fed to tails/short_stats when the new corpus
+    carries doc_id) or its tombstones (stale ids masking fresh docs)."""
+    import os
+
+    root = str(tmp_path / "ridx")
+    pdf_a = pd.DataFrame({
+        "url": [f"u://{i}" for i in range(3)],
+        "text": ["old corpus alpha", "old corpus beta", "old corpus gamma"],
+    })
+    build_index(spark, spark.createDataFrame(pdf_a), root, n_segments=2,
+                block_size=4)
+    idx_a = InvertedIndex.open(spark, root)
+    delete_docs(idx_a, [0])
+    assert os.path.exists(os.path.join(root, "docs"))
+    assert os.path.exists(os.path.join(root, "tombstones"))
+
+    # new corpus WITH doc_id: the docs write is skipped, so the stale docs
+    # dir and tombstones must have been cleaned
+    pdf_b = pd.DataFrame({
+        "doc_id": [0, 1],
+        "url": ["u://a", "u://b"],
+        "text": ["fresh corpus alpha", "fresh corpus beta"],
+    })
+    build_index(spark, prepare_corpus(spark.createDataFrame(pdf_b)), root,
+                n_segments=2, block_size=4, resume=False)
+    assert not os.path.exists(os.path.join(root, "docs"))
+    assert not os.path.exists(os.path.join(root, "tombstones"))
+    idx_b = InvertedIndex.open(spark, root)
+    got = sorted(r["doc_id"] for r in term_locate(idx_b, ["fresh"]).collect())
+    assert got == [0, 1]  # doc 0 not masked by the stale tombstone

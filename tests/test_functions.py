@@ -65,6 +65,13 @@ def test_minhash_lsh_partial_band_not_dropped(spark):
     assert pairs[(1, 2)] == 5
 
 
+def test_minhash_lsh_rejects_bad_band_count(docs):
+    with pytest.raises(ValueError, match="bands must satisfy"):
+        D.minhash_lsh_pairs(docs, n_funcs=16, bands=32)
+    with pytest.raises(ValueError, match="bands must satisfy"):
+        D.minhash_lsh_pairs(docs, n_funcs=16, bands=0)
+
+
 def test_minhash_is_jaccard_estimator(spark):
     """Minhash agreement rate ≈ true Jaccard (within a loose tolerance)."""
     a = " ".join(f"w{i}" for i in range(60))

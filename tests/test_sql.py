@@ -98,6 +98,18 @@ def test_match_rejects_empty_query(spark, tiny_index):
         rw.rewrite("SELECT 1 FROM t WHERE match(text, '...')")
 
 
+def test_match_rejects_wrong_column(spark, tiny_index):
+    """One index covers one text column: match(title, ...) against a
+    text-column rewriter must raise, not silently answer for `text`."""
+    rw = MatchRewriter(spark, tiny_index)
+    with pytest.raises(ValueError, match="covers column 'text'"):
+        rw.rewrite("SELECT 1 FROM t WHERE match(title, 'alpha')")
+    # qualified references to the indexed column still pass
+    assert "IN (SELECT doc_id" in rw.rewrite(
+        "SELECT 1 FROM t WHERE match(t.text, 'alpha')"
+    )
+
+
 def test_match_any_and_phrase(spark, tiny_index, small_docs, docs_parquet):
     spark.read.parquet(docs_parquet).createOrReplaceTempView("docs_sql")
     rows = small_docs.select("doc_id", "text").collect()

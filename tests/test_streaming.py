@@ -368,3 +368,29 @@ def test_user_sessions_gap_boundary(spark):
     # merged session's end = last event ts + gap
     end_us = int((base + 2 * gap).timestamp() * 1_000_000)
     assert int(got["session_end_us"].iloc[0]) == end_us
+
+
+def test_append_preserves_custom_k1_b(spark, two_gen_corpus, tmp_path):
+    """Appending to an index built with custom BM25 parameters must not
+    silently reset k1/b to the defaults (the appended meta re-scores ALL
+    generations)."""
+    import json
+    import os
+
+    from full_text_index_spark.build import build_index, prepare_corpus
+
+    a, b = two_gen_corpus
+    root = str(tmp_path / "sidx3")
+    build_index(spark, prepare_corpus(spark.createDataFrame(a, CORPUS_SCHEMA)),
+                root, n_segments=4, block_size=16, k1=0.9, b=0.4)
+    append_generation(spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+                      n_segments=4, block_size=16)
+    with open(os.path.join(root, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["k1"] == 0.9 and meta["b"] == 0.4
+    # an explicit override still wins
+    append_generation(spark, spark.createDataFrame(b, CORPUS_SCHEMA), root, 1,
+                      n_segments=4, block_size=16, k1=1.5)
+    with open(os.path.join(root, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["k1"] == 1.5 and meta["b"] == 0.4
