@@ -338,24 +338,11 @@ def _make_candidate_kernel(pat_edits: dict[str, int]):
             for pattern in sorted(per_pat):
                 sg, eg = per_pat[pattern]
                 e = pat_edits[pattern]
-                if e >= len(pattern):
-                    # band degenerates (never reached from the pruned
-                    # path, which requires m >= k(1+e) > e): per-doc
-                    # full-width DP keeps semantics
-                    for i, plist in enumerate(pdf["plist"]):
-                        for item in plist:
-                            if item["pattern"] != pattern:
-                                continue
-                            pos = approx_positions_full_np(
-                                pattern, pdf["text"].iloc[i], e
-                            )
-                            if len(pos):
-                                out_p.append(np.full(
-                                    len(pos), pattern, dtype=object))
-                                out_d.append(np.full(
-                                    len(pos), doc_ids[i], dtype=np.int64))
-                                out_c.append(pos)
-                    continue
+                # the pruned path only admits patterns with a positive
+                # q-gram threshold, which forces m >= k(1+e) > e — the
+                # band never degenerates here (e >= m patterns route to
+                # the scan kernel's full-width branch instead)
+                assert e < len(pattern)
                 hits = _banded_core(
                     _codepoints(pattern),
                     big,
@@ -534,19 +521,20 @@ def approx_locate(
                          schema=out_schema)
         )
     if scanned:
-        scan_part = (
-            docs.select("doc_id", "text")
-            .mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
-                         schema=out_schema)
-        )
+        scan_docs = docs.select("doc_id", "text")
         if index is not None:
             # the pruned branch masks tombstones via the positional decode;
             # the scan branch must apply the same delete semantics or one
-            # call mixes deleted and live docs by pattern length
+            # call mixes deleted and live docs by pattern length.  Mask the
+            # INPUT docs, not the kernel's hit rows: deleted docs then never
+            # pay the DP sweep at all (identical result, less kernel CPU).
             from full_text_index_spark.deletes import mask_deleted
 
-            scan_part = mask_deleted(index, scan_part)
-        parts.append(scan_part)
+            scan_docs = mask_deleted(index, scan_docs)
+        parts.append(
+            scan_docs.mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
+                                  schema=out_schema)
+        )
     if not parts:
         return spark.createDataFrame([], out_schema)
     out = parts[0]

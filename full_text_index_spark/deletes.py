@@ -169,21 +169,33 @@ def tombstone_segment_blobs(index: InvertedIndex) -> DataFrame | None:
 
     nseg = int(index.meta["n_segments"])
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))
-        return pd.DataFrame(
-            {
-                "segment": [int(pdf["segment"].iloc[0])],
-                "doc_blob": [encode_gaps(ids)],
-            }
-        )
+    # house pandas-stage shape (CLAUDE.md): never one applyInPandas task
+    # per segment (~120 ms/task constant, and AQE coalesces the tiny
+    # partitions into 1-2 serial tasks) — an explicit AQE-exempt
+    # repartition on the segment key caps the stage at ~defaultParallelism
+    # tasks and the kernel groups the co-located segments in-memory
+    def enc(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True)
+        if not len(whole):
+            return
+        segs, blobs = [], []
+        for seg, grp in whole.groupby("segment", sort=True):
+            ids = np.unique(grp["doc_id"].to_numpy(dtype=np.int64))
+            segs.append(int(seg))
+            blobs.append(encode_gaps(ids))
+        yield pd.DataFrame({"segment": segs, "doc_blob": blobs})
 
+    spark = index.spark
+    nparts = max(1, min(nseg, spark.sparkContext.defaultParallelism))
     blobs = (
         tdf.withColumn(
             "segment", F.pmod(F.col("doc_id"), F.lit(nseg)).cast("int")
         )
-        .groupBy("segment")
-        .applyInPandas(enc, "segment int, doc_blob binary")
+        .repartition(nparts, "segment")
+        .mapInPandas(enc, "segment int, doc_blob binary")
         .persist()
     )
     blobs.count()  # materialize once; n_segments small rows

@@ -468,20 +468,20 @@ def regex_docs(
     if scanned:
         sdf = spark.createDataFrame([(p,) for p in scanned],
                                     "pattern string")
-        scan_part = (
-            docs.select("doc_id", "text")
-            .crossJoin(F.broadcast(sdf))
-            .where(F.expr("text rlike pattern"))
-            .select("pattern", "doc_id")
-        )
+        scan_docs = docs.select("doc_id", "text")
         if index is not None:
             # same delete semantics as the pruned branch (which masks via
             # substring_locate): a literal-free regex must not resurface
-            # tombstoned docs
+            # tombstoned docs.  Mask the INPUT docs so deleted text never
+            # pays the rlike evaluation (identical result, less scan CPU).
             from full_text_index_spark.deletes import mask_deleted
 
-            scan_part = mask_deleted(index, scan_part)
-        parts.append(scan_part)
+            scan_docs = mask_deleted(index, scan_docs)
+        parts.append(
+            scan_docs.crossJoin(F.broadcast(sdf))
+            .where(F.expr("text rlike pattern"))
+            .select("pattern", "doc_id")
+        )
     if not parts:
         return spark.createDataFrame([], "pattern string, doc_id long")
     out = parts[0]

@@ -628,6 +628,11 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
                 "substring_locate_short or substring_search"
             )
     if plan == "alljoin":
+        if stats is not None:
+            # diagnostics must survive every exit path (a bench shot that
+            # reads an empty dict looks like "chooser never ran")
+            stats["plan"] = "alljoin"
+            stats["plan_forced"] = True
         return _locate_via_all_windows(index, patterns)
 
     windows = {p: [p[i:i + k] for i in range(len(p) - k + 1)] for p in patterns}
@@ -646,6 +651,10 @@ def substring_locate(index: InvertedIndex, patterns: list[str],
     # any absent window gram ⇒ the pattern cannot occur
     live = [p for p in patterns if all(cf[g] > 0 for g in windows[p])]
     if not live:
+        if stats is not None:
+            stats["plan"] = "no_live_patterns"
+            stats["all_cf"] = 0
+            stats["est_rarest_cf"] = 0
         return empty
 
     covers = {p: _greedy_cover(windows[p], cf, k) for p in live}
@@ -1075,14 +1084,15 @@ def substring_search(
     from full_text_index_spark.deletes import mask_deleted
 
     k = _gram_k(index)
+    # scan fallbacks must carry the index's delete semantics — the indexed
+    # path masks tombstones, so the cost-based routing must not change
+    # which docs are visible.  Mask the INPUT docs so deleted text never
+    # pays the scan (identical result, less scan CPU).
     if any(len(p) < k for p in patterns) and not index.meta.get("tails"):
-        # scan fallback must carry the index's delete semantics — the
-        # indexed path masks tombstones, so the cost-based routing must
-        # not change which docs are visible
-        return mask_deleted(index, scan_substring_locate(docs, patterns))
+        return scan_substring_locate(mask_deleted(index, docs), patterns)
     corpus_bytes = index.meta.get("corpus_bytes")
     if corpus_bytes is not None and corpus_bytes < small_corpus_bytes:
-        return mask_deleted(index, scan_substring_locate(docs, patterns))
+        return scan_substring_locate(mask_deleted(index, docs), patterns)
     return _locate_any(index, patterns)
 
 
@@ -1193,7 +1203,14 @@ def substring_locate_ci(
             .select("pattern", "doc_id", "cpos")
         )
     if scan_pats:
-        folded = docs.select(
+        scan_docs = docs
+        if index is not None:
+            # same delete semantics as the indexed branches above; mask the
+            # INPUT docs so deleted text never pays the fold+scan
+            from full_text_index_spark.deletes import mask_deleted
+
+            scan_docs = mask_deleted(index, scan_docs)
+        folded = scan_docs.select(
             "doc_id", F.lower(F.col("text")).alias("text")
         )
         scan_part = (
@@ -1209,11 +1226,6 @@ def substring_locate_ci(
             )
             .select("pattern", "doc_id", "cpos")
         )
-        if index is not None:
-            # same delete semantics as the indexed branches above
-            from full_text_index_spark.deletes import mask_deleted
-
-            scan_part = mask_deleted(index, scan_part)
         parts.append(scan_part)
     if not parts:
         return spark.createDataFrame([], "pattern string, doc_id long, cpos long")
