@@ -1272,10 +1272,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order = driver-gate priority: the correctness driver checks the
     # FIRST 50 dict entries, so entries with the fewest green driver rows come
-    # first.  Head: the 13 ops never driver-checked through r4, then the 10 not
-    # re-checked since r3 (ANN/textstats/multimodal family), then the 24 ops
-    # whose only green row is r4, then twice/thrice-green fillers.  The 23
-    # multiply-green core entries (4 rounds of green rows each) rotate past
+    # first.  Head: the 14 ops never driver-checked through r4 (the 13 from
+    # VERDICT r04 plus the new search_page), then the 10 not re-checked since
+    # r3 (ANN/textstats/multimodal family), then the 24 ops whose only green
+    # row is r4, then two twice-green fillers — exactly 50.  The 24
+    # multiply-green core entries (3-4 rounds of green rows each) rotate past
     # position 49; tools/parity_check.py still exercises all 74 every run.
     return {
         # -- never driver-checked (r1-r4) -----------------------------------
@@ -1332,8 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- twice/thrice-green fillers to round out the first 50 ------------
         "display_substring": _q_display_substring,
         "substring_count_short": _q_substring_count_short,
-        "substring_locate": _q_substring_locate,
         # ==== position 50+: multiply-green core, rotated out of the gate ====
+        "substring_locate": _q_substring_locate,
         "bm25_topk": _q_bm25,
         "term_count": _q_term_count,
         "term_locate": _q_term_locate,

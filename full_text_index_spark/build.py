@@ -200,12 +200,17 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     doc_buf = np.frombuffer(varbyte_encode(gaps), dtype=np.uint8)
     tf_buf = np.frombuffer(varbyte_encode(tf), dtype=np.uint8)
     dl_buf = np.frombuffer(varbyte_encode(dl), dtype=np.uint8)
-    doc_end = np.cumsum(_varbyte_sizes(gaps))
-    tf_end = np.cumsum(_varbyte_sizes(tf))
-    dl_end = np.cumsum(_varbyte_sizes(dl))
-    doc_start = doc_end - _varbyte_sizes(gaps)
-    tf_start = tf_end - _varbyte_sizes(tf)
-    dl_start = dl_end - _varbyte_sizes(dl)
+    # size each stream once (like p_sizes above): these vector scans run in
+    # the packer on the build's single wide shuffle — the hot path
+    doc_sizes = _varbyte_sizes(gaps)
+    tf_sizes = _varbyte_sizes(tf)
+    dl_sizes = _varbyte_sizes(dl)
+    doc_end = np.cumsum(doc_sizes)
+    tf_end = np.cumsum(tf_sizes)
+    dl_end = np.cumsum(dl_sizes)
+    doc_start = doc_end - doc_sizes
+    tf_start = tf_end - tf_sizes
+    dl_start = dl_end - dl_sizes
 
     rows = []
     for s, e in zip(run_starts, run_ends):
@@ -429,8 +434,8 @@ def build_index(
     *,
     n_segments: int = 32,
     block_size: int = BLOCK_SIZE_DEFAULT,
-    k1: float = K1_DEFAULT,
-    b: float = B_DEFAULT,
+    k1: float | None = None,
+    b: float | None = None,
     resume: bool = True,
     segment_groups: int = 1,
     build_id: str | None = None,
@@ -488,12 +493,26 @@ def build_index(
             _phase("assign_ids_write_docs", t0)
         corpus = spark.read.parquet(docs_path)
 
-    meta = {
+    # a resume must not silently reset a custom-k1/b index back to the
+    # defaults, nor drop keys other writers added (tails/short_grams from
+    # the gram builder, generations from streaming appends) — inherit the
+    # prior meta and overwrite only what this build recomputes (same
+    # contract as streaming.append_generation)
+    old_meta: dict = {}
+    if resume and os.path.exists(paths.meta):
+        with open(paths.meta) as fh:
+            old_meta = json.load(fh)
+    if k1 is None:
+        k1 = float(old_meta.get("k1", K1_DEFAULT))
+    if b is None:
+        b = float(old_meta.get("b", B_DEFAULT))
+    meta = dict(old_meta)
+    meta.update({
         "build_id": build_id, "n_segments": n_segments,
         "block_size": block_size, "k1": k1, "b": b,
         "tokenizer": tokenizer_tag, "format": FORMAT_VERSION,
         "positions": positions, "unit": unit,
-    }
+    })
     if resume:
         _validate_resume_meta(paths, meta)
 

@@ -242,6 +242,12 @@ def compact(index: InvertedIndex, docs: DataFrame, new_root: str,
         build_gram_index(index.spark, survivors, new_root, **kwargs)
     else:
         kwargs["positions"] = bool(meta.get("positions"))
+        # the merged index must score like the source: carry custom k1/b
+        # through the rebuild instead of resetting to the defaults
+        if "k1" in meta:
+            kwargs["k1"] = float(meta["k1"])
+        if "b" in meta:
+            kwargs["b"] = float(meta["b"])
         kwargs.update(build_kwargs)
         build_index(index.spark, survivors, new_root, **kwargs)
     return InvertedIndex.open(index.spark, new_root)

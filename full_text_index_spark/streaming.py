@@ -321,6 +321,34 @@ def streaming_dedup_first_seen(stream: DataFrame) -> DataFrame:
     )
 
 
+def _stream_generation_base(out_dir: str, checkpoint_dir: str) -> int:
+    """First free generation for a stream attaching to ``out_dir``, pinned
+    per checkpoint so restarts replay the same epoch→generation mapping.
+    A fresh index starts at 0; a batch-built index (generation 0, no
+    ``generations`` key) at 1; a previously-appended index at its recorded
+    ``generations`` high-water mark."""
+    import hashlib
+
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifest_dir, exist_ok=True)
+    tag = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    pin = os.path.join(paths.manifest_dir, f"stream_base_{tag}.json")
+    if os.path.exists(pin):
+        with open(pin) as fh:
+            return int(json.load(fh)["base"])
+    base = 0
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as fh:
+            base = int(json.load(fh).get("generations", 1))
+    with open(pin, "w") as fh:
+        json.dump(
+            {"base": base, "checkpoint": os.path.abspath(checkpoint_dir)}, fh
+        )
+    return base
+
+
 def stream_build(
     spark: SparkSession,
     stream: DataFrame,
@@ -335,13 +363,23 @@ def stream_build(
 
     Use ``trigger(availableNow=True)`` semantics by calling
     ``q.processAllAvailable()`` in tests; checkpointing makes batch replay
-    idempotent together with the per-generation overwrite."""
+    idempotent together with the per-generation overwrite.
+
+    Generations are ``base + epoch_id`` where ``base`` is captured ONCE per
+    (index, checkpoint) attachment and pinned in the manifest dir: epoch 0
+    of a stream attached to an already-populated index (batch build =
+    generation 0; prior appends/streams = generations < base) must not
+    overwrite those generations' partitions, and the pin keeps replays of
+    an in-flight epoch idempotent across restarts with the same
+    checkpoint (a restart re-reads the SAME base instead of recomputing a
+    higher one)."""
+    base = _stream_generation_base(out_dir, checkpoint_dir)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         append_generation(
-            spark, batch_df, out_dir, int(epoch_id),
+            spark, batch_df, out_dir, base + int(epoch_id),
             n_segments=n_segments, block_size=block_size,
         )
 

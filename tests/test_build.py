@@ -247,3 +247,36 @@ def test_distributed_corpus_singleton_is_global(spark):
     docs = generate_corpus(spark, 200, n_partitions=8)
     n = docs.where(F.col("text").contains("singletonterm0")).count()
     assert n == 1
+
+
+def test_resume_inherits_custom_k1_b(spark, tmp_path):
+    """A resume re-run without scoring args must keep the original custom
+    k1/b (and extra meta keys) instead of resetting to defaults."""
+    import json
+    import os
+
+    from full_text_index_spark.build import build_index
+    from full_text_index_spark.corpus import CORPUS_SCHEMA, generate_corpus_pdf
+
+    pdf = generate_corpus_pdf(60, seed=7)
+    docs = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    root = str(tmp_path / "ridx")
+    build_index(spark, docs, root, n_segments=4, block_size=16, k1=2.0, b=0.3)
+    meta_path = os.path.join(root, "meta.json")
+    # another writer adds a key (the gram builder does this with tails)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["extra_marker"] = 123
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    build_index(spark, docs, root, n_segments=4, block_size=16)  # resume
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["k1"] == 2.0 and meta["b"] == 0.3
+    assert meta["extra_marker"] == 123
+    # explicit override still wins on resume
+    build_index(spark, docs, root, n_segments=4, block_size=16, k1=1.1)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["k1"] == 1.1 and meta["b"] == 0.3

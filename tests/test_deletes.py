@@ -296,3 +296,29 @@ def test_rebuild_in_place_clears_docs_and_tombstones(spark, tmp_path):
     idx_b = InvertedIndex.open(spark, root)
     got = sorted(r["doc_id"] for r in term_locate(idx_b, ["fresh"]).collect())
     assert got == [0, 1]  # doc 0 not masked by the stale tombstone
+
+
+def test_compact_preserves_custom_k1_b(spark, tmp_path):
+    """compact() rebuilds must score like the source index: custom k1/b
+    carry into the new root."""
+    import json
+    import os
+
+    from full_text_index_spark.build import build_index
+    from full_text_index_spark.corpus import CORPUS_SCHEMA, generate_corpus_pdf
+    from full_text_index_spark.deletes import compact, delete_docs
+    from full_text_index_spark.index import InvertedIndex
+
+    pdf = generate_corpus_pdf(60, seed=11)
+    docs = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    root = str(tmp_path / "cidx")
+    build_index(spark, docs, root, n_segments=4, block_size=16, k1=0.8, b=0.2)
+    idx = InvertedIndex.open(spark, root)
+    built_docs = idx.spark.read.parquet(os.path.join(root, "docs"))
+    delete_docs(idx, [int(built_docs.first()["doc_id"])])
+    new_root = str(tmp_path / "cidx2")
+    idx2 = compact(idx, built_docs, new_root)
+    with open(os.path.join(new_root, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["k1"] == 0.8 and meta["b"] == 0.2
+    assert idx2.n_docs == 59

@@ -394,3 +394,55 @@ def test_append_preserves_custom_k1_b(spark, two_gen_corpus, tmp_path):
     with open(os.path.join(root, "meta.json")) as fh:
         meta = json.load(fh)
     assert meta["k1"] == 1.5 and meta["b"] == 0.4
+
+
+def test_stream_into_batch_index_keeps_generation_zero(
+    spark, two_gen_corpus, tmp_path
+):
+    """Attaching a stream to a BATCH-built index must not overwrite its
+    generation-0 partitions: epoch 0 maps to the first FREE generation
+    (manifest-pinned base), so the union corpus stays queryable."""
+    import pandas as pd
+
+    from full_text_index_spark.build import build_index, prepare_corpus
+
+    a, b = two_gen_corpus
+    root = str(tmp_path / "sidx4")
+    build_index(spark, prepare_corpus(spark.createDataFrame(a, CORPUS_SCHEMA)),
+                root, n_segments=4, block_size=16)
+    assert InvertedIndex.open(spark, root).n_docs == len(a)
+
+    src = str(tmp_path / "in4")
+    spark.createDataFrame(b, CORPUS_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = stream_build(spark, stream, root, str(tmp_path / "ckpt4"),
+                     n_segments=4, block_size=16)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx = InvertedIndex.open(spark, root)
+    assert idx.n_docs == len(a) + len(b)  # generation 0 survived
+    union = pd.concat([a, b], ignore_index=True)
+    _assert_matches_oracle(idx, union, QUERIES)
+
+
+def test_stream_base_pin_is_stable_per_checkpoint(spark, tmp_path):
+    """The epoch->generation base is computed once per (index, checkpoint)
+    and re-read on restart — a replayed epoch maps to the SAME generation."""
+    from full_text_index_spark.streaming import _stream_generation_base
+
+    root = str(tmp_path / "sidx5")
+    ckpt = str(tmp_path / "ckpt5")
+    b0 = _stream_generation_base(root, ckpt)
+    assert b0 == 0  # fresh dir
+    # simulate a later attachment: meta now exists, but the pin wins
+    import json
+    import os
+
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump({"generations": 7}, fh)
+    assert _stream_generation_base(root, ckpt) == b0
+    # a DIFFERENT checkpoint computes a fresh base from the meta
+    assert _stream_generation_base(root, str(tmp_path / "ckpt6")) == 7

@@ -96,7 +96,16 @@ def main() -> None:
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     settle = int(os.environ.get("SPARK_GRAFT_SETTLE_S", "45"))
     out_path = os.path.join(REPO, "BENCH", "extra_ops_runs.jsonl")
+    # reload prior accepted reps (same sidecar-accumulation contract as
+    # scaling_bench/query_scaling: reps accumulate across invocations of
+    # IDENTICAL engine code — delete the sidecar after any engine change)
     runs: list[dict] = []
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if rec.get("sf") == sf_dir and rec.get("cpus") in (lo, hi):
+                    runs.append(rec)
     first = True
     for rep in range(reps):
         for cpus in (lo, hi):  # interleaved, like scaling_bench

@@ -109,34 +109,21 @@ def main() -> None:
         )
 
     elif qtype == "D":
-        from pyspark.sql import functions as F
-
-        from full_text_index_spark.substring import substring_locate
+        from full_text_index_spark.substring import display_substring
 
         docs = spark.read.parquet(sys.argv[4])
         numc = int(sys.argv[5]) if len(sys.argv) > 5 else 25
         meta, raw_pats = W.read_patterns_file(wl_path)
         pats = W.decode_patterns(raw_pats)
         uniq = sorted(set(pats))
-        plen = meta["length"]
         t0 = time.monotonic()
         # snippet of numc chars around EVERY occurrence — the reference's
-        # snippet matrix (interface.h:81-92), substring-exact
-        rows = (
-            substring_locate(index, uniq)
-            .join(docs.select("doc_id", "text"), "doc_id")
-            .select(
-                "pattern",
-                "doc_id",
-                "cpos",
-                F.substring(
-                    F.col("text"),
-                    F.greatest(F.col("cpos") - numc, F.lit(1)).cast("int"),
-                    plen + 2 * numc,
-                ).alias("snippet"),
-            )
-            .collect()
-        )
+        # snippet matrix (interface.h:81-92).  display_substring owns the
+        # sau clamp rule (each context side clamps INDEPENDENTLY at the
+        # text edges — a fixed-width plen+2*numc substring over-extends the
+        # right edge when the left side clamps; see CLAUDE.md), so the
+        # workload driver must reuse it, not re-derive the window inline.
+        rows = display_substring(index, docs, uniq, numc).collect()
         dt = time.monotonic() - t0
         print(
             f"Displayed {len(rows)} occurrences (numc={numc}) in "

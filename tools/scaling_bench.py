@@ -133,20 +133,24 @@ def main() -> None:
     # the suite-embedded row above understates the query path.  Render the
     # gate row from the sidecar when it has reps for this (lo, hi) config.
     gate_row = ""
+    GATE_NQ = 6000  # the gated batch size (§c); 2000-q reps are Amdahl-capped
     qsidecar = os.path.join(REPO, "BENCH", "query_runs.jsonl")
     if os.path.exists(qsidecar):
         qlo, qhi = [], []
         with open(qsidecar) as fh:
             for line in fh:
                 rec = json.loads(line)
-                if rec.get("config", [])[:2] == [lo, hi]:
+                # match the FULL config (lo, hi, n_docs, nq) — pooling reps
+                # from other batch/corpus sizes would mix workloads whose
+                # per-batch constants differ, corrupting the gate number
+                if rec.get("config", []) == [lo, hi, n_docs, GATE_NQ]:
                     (qlo if rec["cpus"] == lo else qhi).append(rec["qps"])
         if qlo and qhi:
             med = lambda xs: sorted(xs)[len(xs) // 2]
             g_best = round((max(qhi) / max(qlo)) / (hi / lo), 3)
             g_med = round((med(qhi) / med(qlo)) / (hi / lo), 3)
             gate_row = (
-                f"\n| **BM25 top-10, 6000-query batch (q/s) — the gated "
+                f"\n| **BM25 top-10, {GATE_NQ}-query batch (q/s) — the gated "
                 f"config (§c)** | {max(qlo)} | {max(qhi)} | "
                 f"{round(max(qhi) / max(qlo), 2)}× | **{g_best}** best-of / "
                 f"**{g_med}** median |"
