@@ -910,7 +910,9 @@ def _q_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     return (
         top.join(docs, "doc_id")
-        .withColumn("pos", F.instr(F.col("text"), F.col("term")))
+        # case-insensitive anchor, in lockstep with query.display and the
+        # DuckDB oracle (index terms are lowercased; the text is not)
+        .withColumn("pos", F.instr(F.lower(F.col("text")), F.col("term")))
         .select(
             "term", "rank", "doc_id", "tf",
             F.substring(
@@ -1492,12 +1494,16 @@ GROUP BY t.n_trans, t.n_ctx
 """.strip()
 
     scan_vals = ", ".join(f"('{p}')" for p in SCAN_PATTERNS)
+    # OVERLAPPING occurrences, in lockstep with the engine's scan_count
+    # (both match the indexed substring_count semantics)
     sqls["scan_count"] = f"""
 WITH probe(pattern) AS (VALUES {scan_vals}),
 occ AS (
   SELECT probe.pattern AS pattern,
-         CAST((length(text) - length(replace(text, probe.pattern, '')))
-              / length(probe.pattern) AS BIGINT) AS occ
+         CAST(len(list_filter(
+           generate_series(1, greatest(length(text) - length(probe.pattern) + 1, 0)),
+           p -> substr(text, p, length(probe.pattern)) = probe.pattern
+         )) AS BIGINT) AS occ
   FROM documents CROSS JOIN probe
 )
 SELECT pattern,
@@ -1713,14 +1719,20 @@ ORDER BY qid, doc_id
 """.strip()
 
     phrase_vals = ", ".join(f"('{p}')" for p in PHRASES)
+    # every anchored start, overlapping included — lockstep with the
+    # engine's enumeration (a replace-based count consumes the shared
+    # separator between adjacent occurrences and undercounts)
     sqls["phrase_search"] = f"""
 WITH probe(phrase) AS (VALUES {phrase_vals}),
 occ AS (
   SELECT probe.phrase AS phrase, d.doc_id,
-         CAST((length(' ' || d.text || ' ')
-               - length(replace(' ' || d.text || ' ',
-                                ' ' || probe.phrase || ' ', '')))
-              / length(' ' || probe.phrase || ' ') AS BIGINT) AS n_occurrences
+         CAST(len(list_filter(
+           generate_series(1, greatest(length(' ' || d.text || ' ')
+                                       - length(' ' || probe.phrase || ' ') + 1, 0)),
+           p -> substr(' ' || d.text || ' ', p,
+                       length(' ' || probe.phrase || ' '))
+                = ' ' || probe.phrase || ' '
+         )) AS BIGINT) AS n_occurrences
   FROM documents d CROSS JOIN probe
 )
 SELECT phrase, doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
@@ -2332,7 +2344,7 @@ ranked AS (
 )
 SELECT r.term, r.rank::INT AS rank, r.doc_id, r.tf,
        substr(d.text,
-              greatest(strpos(d.text, r.term) - 25, 1),
+              greatest(strpos(lower(d.text), r.term) - 25, 1),
               length(r.term) + 50) AS snippet
 FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= 3 ORDER BY term, rank
@@ -2875,7 +2887,7 @@ FROM tok_arrays ORDER BY doc_id
 WITH tok_arrays AS (
   SELECT doc_id, length(text) AS n_chars_measured,
          list_filter({tokens_sql('text')}, t -> t <> '') AS l,
-         regexp_split_to_array(text, '\\s+') AS ws
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws
   FROM documents
 )
 SELECT doc_id, len(l)::INT AS n_tokens, len(list_distinct(l))::INT AS n_distinct,

@@ -4,8 +4,12 @@ lookup relational engines ship natively (DuckDB ``ASOF JOIN``, which is
 exactly the oracle the parity gate runs) and Spark lacks.
 
 Implementation is NOT a join: both sides are unioned and a single window
-pass per ``by`` group carries the latest right-side values forward
-(``last(..., ignorenulls=True)`` over rows-unbounded-preceding).  That is
+pass per ``by`` group carries the latest right ROW forward as one struct
+(``last(struct, ignorenulls=True)`` over rows-unbounded-preceding — the
+struct is non-null for every right row even when individual fields are
+NULL, so the matched row's fields arrive atomically; per-column fills
+would tear rows, back-filling a matched NULL field from an older right
+row that never co-occurred with the matched timestamp).  That is
 one Exchange on the ``by`` key + one in-partition sort for ANY left/right
 size ratio — where a SortMergeJoin-based as-of needs an inequality
 band-join (quadratic per key) or an interval self-join, the union-window
@@ -58,16 +62,22 @@ def asof_join(
             ),
         ).where(F.col("_rn") == 1).drop("_rn")
     carried = [f"{prefix}{on}"] + [f"{prefix}{c}" for c in right_cols]
+    # the whole candidate right row rides as ONE struct: non-null per right
+    # row even when fields are NULL, so last(ignorenulls) picks the matched
+    # row atomically (per-column fills would tear rows — a matched NULL
+    # field must stay NULL, not back-fill from an older right row)
     r = r.select(
         *by,
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"{prefix}{on}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.struct(
+            F.col(on).alias(f"{prefix}{on}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        ).alias("_r"),
     )
-    lt = left.withColumn("_side", F.lit(1))
-    for c in carried:
-        lt = lt.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r.schema["_r"].dataType)
+    )
     u = lt.unionByName(r, allowMissingColumns=True)
     # right rows sort before left at equal `on` (_side 0 < 1) → a right row
     # at exactly the left timestamp is visible: the <= tie rule
@@ -76,16 +86,13 @@ def asof_join(
         .orderBy(on, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried],
-    )
+    filled = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
     out_cols = [c for c in left.columns] + carried
     return (
         filled.where(F.col("_side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"_f_{c}").alias(c) for c in carried],
+            *[F.col(f"_m.{c}").alias(c) for c in carried],
         )
         .select(*out_cols)
     )

@@ -193,16 +193,25 @@ def resize_image(payload: bytes, stride: int) -> bytes:
 
 
 def sample_frames(payload: bytes, stride: int) -> bytes:
-    """Decimate a PCM16 WAV: keep every stride-th sample (offset 0) and
+    """Decimate a PCM16 WAV: keep every stride-th FRAME (offset 0) and
     re-encode a valid RIFF/PCM16 file.  The header keeps the ORIGINAL
     sample rate — this is frame sampling for feature extraction, not a
-    playback-rate conversion (no anti-alias filter)."""
+    playback-rate conversion (no anti-alias filter).
+
+    A frame is one sample per channel: decimation strides over frames, so
+    multi-channel audio keeps co-timed L/R samples together (a flat
+    ``samples[::stride]`` would interleave samples of DIFFERENT frames and
+    alternate channels), and the header's byteRate/blockAlign are derived
+    from the channel count rather than hardcoded mono."""
     rate, channels, samples = _parse_wav(payload)
-    data = samples[::stride].astype("<i2").tobytes()
+    ch = max(int(channels), 1)
+    n_frames = len(samples) // ch
+    kept = samples[: n_frames * ch].reshape(n_frames, ch)[::stride]
+    data = kept.reshape(-1).astype("<i2").tobytes()
     hdr = (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
-                                rate * 2, 2, 16)
+                                rate * 2 * ch, 2 * ch, 16)
         + b"data" + struct.pack("<I", len(data))
     )
     return hdr + data

@@ -191,14 +191,27 @@ def scan_count(docs: DataFrame, patterns: list[str]) -> DataFrame:
     fm/fm_search.c:417-498; adaptive choice fm/fm_index.h:20-22).  Here the
     adaptive strategy is: tiny corpus → scan the stored text column with a
     whole-stage-codegen'd expression instead of touching postings.
+    Counts OVERLAPPING occurrences — identical semantics to the indexed
+    substring_count (sau counts every suffix-array hit), so the adaptive
+    cutover never changes answers on self-overlapping patterns ('aa' in
+    'aaaa' is 3 on both paths; a replace-based count would say 2).
     Output: (pattern, n_docs_matching, n_occurrences)."""
     pdf = docs.sparkSession.createDataFrame(
         [(p,) for p in patterns], "pattern string"
     )
     joined = docs.crossJoin(F.broadcast(pdf))
+    t, pat = F.col("text"), F.col("pattern")
+    # sequence(1, n) counts DOWN when n <= 0 — the when() guard keeps the
+    # chunker off that path (CLAUDE.md gotcha)
     occ = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.col("pattern"))))
-        / F.length("pattern")
+        F.when(
+            F.length(t) >= F.length(pat),
+            F.size(F.filter(
+                F.sequence(F.lit(1), F.length(t) - F.length(pat) + 1),
+                lambda i: t.substr(i, F.length(pat)) == pat,
+            )),
+        )
+        .otherwise(F.lit(0))
     ).cast("long")
     return (
         joined.select("pattern", occ.alias("occ"))
@@ -219,7 +232,12 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length("text").alias("n_chars_measured"),
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        # Spark split keeps leading/trailing '' fields (limit -1): unfiltered,
+        # ' a b ' would count 4 and '' would count 1 — same trap the module's
+        # token_hash note documents for split(s, '')
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("n_ws_tokens"),
     )
 
 

@@ -862,8 +862,9 @@ def phrase_positions(index: InvertedIndex, phrases: list[str]) -> DataFrame:
     """Exact phrase occurrence counts verified INSIDE the index (no text
     access): for phrase t0 t1 … tm, a match is a doc where each slot's
     position list contains p, p+1, …, p+m.
-    Counts are OVERLAPPING occurrences ("x x x" contains "x x" twice) —
-    unlike phrase_search's non-overlapping substring-replace count.
+    Counts are OVERLAPPING occurrences ("x x x" contains "x x" twice),
+    matching phrase_search's anchored-start enumeration on the stored text
+    (the two paths agree per (phrase, doc)).
 
     One batched plan for the whole workload (VERDICT r01 #6): a single join
     of the decoded positions against a broadcast (phrase, slot, term) table,
@@ -883,11 +884,18 @@ def phrase_positions(index: InvertedIndex, phrases: list[str]) -> DataFrame:
         slot_rows, "phrase string, slot int, term string, n_slots int"
     )
     all_terms = sorted({r[2] for r in slot_rows})
-    tp = term_positions(index, all_terms)
-    # aligned start p0 = tpos − slot: an occurrence at p0 needs a DISTINCT
-    # slot hit for every slot (distinct, because a phrase may repeat a term)
+    return _phrase_occurrence_counts(term_positions(index, all_terms), slots)
+
+
+def _phrase_occurrence_counts(tp: DataFrame, slots_df: DataFrame) -> DataFrame:
+    """The batched positional slot-join shared by phrase_positions and
+    phrase_prefix_search — aligned start p0 = tpos − slot: an occurrence at
+    p0 needs a DISTINCT slot hit for every slot (distinct, because a phrase
+    may repeat a term and prefix expansions share the last slot).  ONE copy
+    of the matching rule so a fix can't silently miss the other operator.
+    Output: (phrase, doc_id, n_occurrences) over overlapping starts."""
     starts = (
-        tp.join(F.broadcast(slots), "term")
+        tp.join(F.broadcast(slots_df), "term")
         .select(
             "phrase", "n_slots", "doc_id", "slot",
             (F.col("tpos") - F.col("slot")).alias("p0"),
@@ -958,19 +966,8 @@ def phrase_prefix_search(
     slots_df = spark.createDataFrame(
         slots_pd, "phrase string, slot int, term string, n_slots int"
     )
-    tp = term_positions(index, all_terms)
-    starts = (
-        tp.join(F.broadcast(slots_df), "term")
-        .select(
-            "phrase", "n_slots", "doc_id", "slot",
-            (F.col("tpos") - F.col("slot")).alias("p0"),
-        )
-        .groupBy("phrase", "n_slots", "doc_id", "p0")
-        .agg(F.count_distinct("slot").alias("n_hit"))
-        .where(F.col("n_hit") == F.col("n_slots"))
-    )
-    return starts.groupBy("phrase", "doc_id").agg(
-        F.count("*").alias("n_occurrences")
+    return _phrase_occurrence_counts(
+        term_positions(index, all_terms), slots_df
     )
 
 
@@ -1765,8 +1762,11 @@ def phrase_search(index: InvertedIndex, corpus: DataFrame,
     substring search (sau/SAu.c:253-344) for multi-token patterns.
     Matches are token-anchored (phrase padded with token separators), so the
     term-AND candidate set is a guaranteed superset of the verified matches.
-    Counts are NON-overlapping (substring-replace counting); see
-    phrase_positions for overlapping positional counts.
+    Counts EVERY anchored start (overlapping included — adjacent
+    occurrences share their separator space, which a substring-replace
+    count would consume, reporting 1 for 'a b' in 'a b a b'), so
+    n_occurrences equals the per-(phrase, doc) cardinality of
+    phrase_positions.
     Output: (phrase, doc_id, n_occurrences>0)."""
     from full_text_index_spark.tokenizer import tokenize_py
 
@@ -1776,8 +1776,16 @@ def phrase_search(index: InvertedIndex, corpus: DataFrame,
     cand = boolean_and(index, qdf.select("qid", "terms"))
     pt = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     pp = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+    # sequence(1, n) counts DOWN when n <= 0 — guard the enumerator
     occ = (
-        (F.length(pt) - F.length(F.replace(pt, pp))) / F.length(pp)
+        F.when(
+            F.length(pt) >= F.length(pp),
+            F.size(F.filter(
+                F.sequence(F.lit(1), F.length(pt) - F.length(pp) + 1),
+                lambda i: pt.substr(i, F.length(pp)) == pp,
+            )),
+        )
+        .otherwise(F.lit(0))
     ).cast("long")
     return (
         cand.join(F.broadcast(qdf.select("qid", "phrase")), "qid")
@@ -1895,7 +1903,11 @@ def display(
 ) -> DataFrame:
     """`display` analog (reference: utils/interface.h:92): top-k docs per
     query with ``numc`` chars of context around the first match of the
-    query's first term."""
+    query's first term.  The anchor lookup is CASE-INSENSITIVE (index
+    terms are lowercased by the tokenizer, so a doc ranked via a
+    different-cased occurrence must still anchor at that occurrence, not
+    silently fall back to the document start); the snippet itself shows
+    the original-case text."""
     topk = bm25_topk(index, queries, k=k)
     first_term = queries.select(
         "qid", F.element_at("terms", 1).alias("t0")
@@ -1904,7 +1916,7 @@ def display(
     return (
         topk.join(first_term, "qid")
         .join(docs, "doc_id")
-        .withColumn("pos", F.instr(F.col("text"), F.col("t0")))
+        .withColumn("pos", F.instr(F.lower(F.col("text")), F.col("t0")))
         .select(
             "qid", "rank", "doc_id", "url",
             F.substring(

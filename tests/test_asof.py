@@ -113,3 +113,19 @@ def test_asof_plan_has_no_join(spark):
         .executedPlan().toString()
     assert "Join" not in plan          # no band/SMJ join — union + window
     assert "Window" in plan
+
+def test_asof_null_right_field_stays_null(spark):
+    """A NULL field in the MATCHED right row must come through as NULL —
+    not back-filled from an older right row (atomic-row semantics; DuckDB
+    ASOF JOIN agrees)."""
+    T = pd.Timestamp
+    l, r = _frames(
+        spark,
+        [(0, 1, T("2024-01-01 12:00"))],
+        [(1, T("2024-01-01 10:00"), 5.0),
+         (1, T("2024-01-01 11:00"), None)],  # the asof match, value NULL
+    )
+    got = asof_join(l, r, on="ts", by="user_id",
+                    right_cols=["value"]).toPandas()
+    assert got["asof_ts"].iloc[0] == T("2024-01-01 11:00")
+    assert pd.isna(got["asof_value"].iloc[0])  # NOT 5.0

@@ -493,3 +493,57 @@ def test_minhash_kernel_matches_expr_rendering(spark):
                 for r in D.minhash_signatures_expr(docs, n_funcs=n_funcs).collect()}
         assert got == want and got, n_funcs
     assert not any(d == 3 or d == 6 or d == 2 for d, _ in got)
+
+
+def test_scan_count_overlapping_semantics(spark):
+    """scan_count counts OVERLAPPING occurrences — identical semantics to
+    the indexed substring_count, so the adaptive cutover never changes
+    answers ('aa' in 'aaaa' = 3, not the replace-based 2)."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "xaax"), (2, "bb")], "doc_id long, text string"
+    )
+    got = {
+        r["pattern"]: (r["n_docs_matching"], r["n_occurrences"])
+        for r in TS.scan_count(docs, ["aa", "zz"]).collect()
+    }
+    assert got["aa"] == (2, 4)   # 3 overlapping in 'aaaa' + 1 in 'xaax'
+    assert got["zz"] == (0, 0)
+
+
+def test_doc_token_stats_ws_tokens_ignore_padding(spark):
+    """n_ws_tokens must not count the empty fields Spark split keeps for
+    leading/trailing whitespace ( ' a b ' is 2 tokens, '' is 0)."""
+    docs = spark.createDataFrame(
+        [(0, " a b "), (1, ""), (2, "one")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_ws_tokens"]
+           for r in TS.doc_token_stats(docs).collect()}
+    assert got == {0: 2, 1: 0, 2: 1}
+
+
+def test_sample_frames_stereo_frames_and_header():
+    """Multi-channel decimation strides over FRAMES (co-timed L/R stay
+    together) and the header derives byteRate/blockAlign from the channel
+    count."""
+    import struct
+
+    import numpy as np
+
+    rate, ch = 8000, 2
+    frames = np.arange(20, dtype="<i2").reshape(10, 2)  # L=even, R=odd
+    data = frames.reshape(-1).tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                rate * 2 * ch, 2 * ch, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = MM.sample_frames(wav, 3)
+    r2, ch2, samples = MM._parse_wav(out)
+    assert (r2, ch2) == (rate, ch)
+    kept = samples.reshape(-1, 2)
+    # frames 0, 3, 6, 9 — each with its own co-timed L/R pair
+    assert kept.tolist() == [[0, 1], [6, 7], [12, 13], [18, 19]]
+    # header fields: byteRate and blockAlign match the channel count
+    byte_rate, block_align = struct.unpack_from("<IH", out, 28)
+    assert byte_rate == rate * 2 * ch and block_align == 2 * ch

@@ -68,16 +68,10 @@ def test_phrase_positions_equals_text_scan(spark, pos_index, corpus_with_ids):
         (r["phrase"], r["doc_id"]): r["n_occurrences"]
         for r in phrase_search(pos_index, corpus, phrases).collect()
     }
-    # same doc sets always; same counts except self-overlapping phrases,
-    # where positional counting is overlapping ("x x x" has two "x x") and
-    # the substring-replace scan is non-overlapping
-    assert set(a) == set(b)
-    overlapping = {"bababa0 bababa0"}
-    for key, n in a.items():
-        if key[0] in overlapping:
-            assert b[key] <= n
-        else:
-            assert b[key] == n
+    # identical doc sets AND counts: both paths count every anchored start
+    # (overlapping included — "x x x" has two "x x" on BOTH paths since the
+    # text scan enumerates starts instead of substring-replace counting)
+    assert a == b
     assert len(a) > 0
 
 
@@ -162,3 +156,35 @@ def test_near_count_rejects_equal_terms(pos_index):
 
     with pytest.raises(ValueError):
         near_count(pos_index, [("x", "x", 3)])
+
+
+def test_phrase_search_counts_adjacent_occurrences(spark, pos_index):
+    """Adjacent phrase occurrences share their separator space — the old
+    substring-replace count consumed it and reported 1 for 'a b' in
+    'a b a b'.  Both phrase paths must report every anchored start."""
+    import pandas as pd
+
+    from full_text_index_spark.build import build_index, prepare_corpus
+    from full_text_index_spark.index import InvertedIndex
+
+    pdf = pd.DataFrame({
+        "url": ["http://x/adj0", "http://x/adj1"],
+        "text": ["qa qb qa qb", "qx qx qx qx"],
+    })
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="fti_adj_")
+    corpus = prepare_corpus(spark.createDataFrame(pdf))
+    build_index(spark, corpus, root, n_segments=2, block_size=16,
+                positions=True)
+    idx = InvertedIndex.open(spark, root)
+    docs = corpus  # prepared corpus already carries doc_id/url/text
+    phrases = ["qa qb", "qx qx"]
+    a = {(r["phrase"], r["doc_id"]): r["n_occurrences"]
+         for r in phrase_positions(idx, phrases).collect()}
+    b = {(r["phrase"], r["doc_id"]): r["n_occurrences"]
+         for r in phrase_search(idx, docs, phrases).collect()}
+    assert a == b
+    by_phrase = {p: n for (p, _), n in a.items()}
+    assert by_phrase["qa qb"] == 2   # adjacent, non-overlapping
+    assert by_phrase["qx qx"] == 3   # self-overlapping starts 1, 2, 3
