@@ -2484,10 +2484,18 @@ GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
 """.strip()
 
-    from full_text_index_spark.functions.sampling import split_hash_sql
+    from full_text_index_spark.functions.sampling import (
+        quota_hash_sql,
+        split_hash_sql,
+    )
     from full_text_index_spark.functions.textstats import HASH_P as _P
 
     _h = split_hash_sql("doc_id", SPLIT_SEED)
+    # the quota stream is re-mixed through a second multiplier
+    # (sampling.quota_hash) so its ordering is independent of
+    # hash_split's — derived from the same helper as the engine,
+    # lockstep by construction
+    _hq = quota_hash_sql("doc_id", SPLIT_SEED)
     _names = list(SPLIT_WEIGHTS)
     _acc, _cases = 0.0, []
     for _nm in _names[:-1]:
@@ -2595,7 +2603,7 @@ ORDER BY d.doc_id
 WITH rk AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY ({_h}) ASC, doc_id ASC) AS rk
+                            ORDER BY ({_hq}) ASC, doc_id ASC) AS rk
   FROM documents
 )
 SELECT doc_id, source FROM rk WHERE rk <= {QUOTA_PER_SOURCE}

@@ -49,6 +49,14 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if len(b) == 0:
         return np.empty(0, dtype=np.int64)
+    if (b[-1] & 0x80) != 0:
+        # a valid stream always ends on a terminator byte; a mis-sliced or
+        # truncated blob otherwise dies below with a confusing shape/index
+        # error — fail loudly as the data corruption it is
+        raise ValueError(
+            "varbyte_decode: truncated buffer (last byte has its "
+            "continuation bit set)"
+        )
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.empty(len(ends), dtype=np.int64)

@@ -96,14 +96,27 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
     """Distributed deterministic corpus: each partition generates its slice
     with a derived seed — no driver-side materialization, scales linearly."""
     bounds = np.linspace(0, n_docs, n_partitions + 1).astype(np.int64)
+    # probed partition labels (query._bucket_labels): a plain
+    # repartition(n, 'lo') hash-collides slice keys (~1/e of partitions
+    # empty, some tasks generating 2-3 slices serially — the documented
+    # small-pandas-stage trap); each slice gets a label that provably maps
+    # to its own partition, so generation runs at full width
+    from full_text_index_spark.query import _bucket_labels
+
+    labels = _bucket_labels(spark, n_partitions)
     slices = spark.createDataFrame(
-        [(int(bounds[i]), int(bounds[i + 1]), seed + i) for i in range(n_partitions)],
-        "lo long, hi long, part_seed long",
-    ).repartition(n_partitions, "lo")
+        [
+            (int(bounds[i]), int(bounds[i + 1]), seed + i, labels[i])
+            for i in range(n_partitions)
+        ],
+        "lo long, hi long, part_seed long, pkey long",
+    ).repartition(n_partitions, "pkey")
 
     def gen(iterator):
         for pdf in iterator:
-            for lo, hi, part_seed in pdf.itertuples(index=False):
+            for lo, hi, part_seed in pdf[
+                ["lo", "hi", "part_seed"]
+            ].itertuples(index=False):
                 if hi <= lo:
                     continue
                 out = generate_corpus_pdf(int(hi - lo), seed=int(part_seed),
@@ -126,7 +139,11 @@ def extract_text(html_col) -> F.Column:
     authoritative extractor; tests check sha256(extract(html)) == sha256(text).
     """
     s = F.decode(html_col, "UTF-8")
-    body = F.regexp_extract(s, r"^<html><body>(.*)</body></html>$", 1)
+    # (?s): Java regex '.' does not match line terminators, so without
+    # DOTALL any text containing '\n' would extract as '' (regexp_extract
+    # returns empty on no-match, not an error) — silently emptying docs
+    # and breaking the sha256(extract(html)) == sha256(text) invariant
+    body = F.regexp_extract(s, r"(?s)^<html><body>(.*)</body></html>$", 1)
     return body
 
 

@@ -66,34 +66,42 @@ def remove_boilerplate(
 ) -> DataFrame:
     """(doc_id, clean_text, n_chunks_removed): every document with its
     boilerplate segments stripped (order of survivors preserved; a doc
-    that was ALL boilerplate keeps an empty clean_text row)."""
-    boiler = boilerplate_segments(docs, chunk_w, min_df).select("seg")
+    that was ALL boilerplate keeps an empty clean_text row).
+
+    Two corpus scans, not three: the boilerplate df-count needs its own
+    pass, but totals ride on the SAME exploded rows as the survivors — a
+    broadcast left join tags boilerplate segments and one groupBy derives
+    clean_text, n_total and n_kept together (posexplode_outer keeps
+    zero-chunk docs in the aggregate, which a plain posexplode would
+    drop)."""
+    boiler = boilerplate_segments(docs, chunk_w, min_df).select(
+        "seg", F.lit(True).alias("_boiler")
+    )
     segs = docs.select(
         "doc_id",
-        F.posexplode(segment_chunks(F.col("text"), chunk_w)).alias("pos", "seg"),
+        F.posexplode_outer(
+            segment_chunks(F.col("text"), chunk_w)
+        ).alias("pos", "seg"),
     )
-    kept = (
-        segs.join(F.broadcast(boiler), "seg", "left_anti")
+    survivor = F.col("_boiler").isNull() & F.col("seg").isNotNull()
+    return (
+        segs.join(F.broadcast(boiler), "seg", "left")
         .groupBy("doc_id")
         .agg(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    # when() without otherwise → NULL for boilerplate rows,
+                    # which collect_list drops
+                    F.array_sort(
+                        F.collect_list(F.when(survivor, F.struct("pos", "seg")))
+                    ),
                     lambda x: x["seg"],
                 ),
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
+            (F.count("seg") - F.count(F.when(survivor, F.lit(1))))
+            .cast("long")
+            .alias("n_chunks_removed"),
         )
-    )
-    totals = docs.select(
-        "doc_id",
-        F.size(segment_chunks(F.col("text"), chunk_w)).alias("n_total"),
-    )
-    return totals.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_chunks_removed"),
+        .select("doc_id", "clean_text", "n_chunks_removed")
     )

@@ -28,6 +28,22 @@ from full_text_index_spark.functions.textstats import HASH_P
 
 SPLIT_MULT = 48271  # MINSTD; (P-1)*MULT < 2^47 — exact in int64
 
+# group_quota_sample re-mixes the split hash through a DIFFERENT
+# multiplier so its ordering is decoupled from hash_split's: with a
+# shared stream and shared default seed, the quota's "smallest hashes per
+# group" are exactly the rows hash_split sends to the first-named split —
+# quota-sampled data would land ~100% in 'train' and never in
+# 'val'/'test'.  An additive salt alone is NOT enough (the same lesson as
+# the LSH plane weights): split_hash is affine in the seed, so adding a
+# constant SHIFTS every hash by the same amount mod P and preserves the
+# ordering almost everywhere — measured 3439/561/0 across an 80/10/10
+# split.  Multiplying by a second, different MINSTD-class multiplier
+# wraps the circle every ~P/MULT_Q values, decorrelating the two
+# orderings (measured ≈ weights).  The oracle (__spark_entry__) derives
+# its SQL from quota_hash_sql, so engine and oracle move in lockstep.
+QUOTA_SEED_SALT = 7919
+QUOTA_MULT = 69621  # ≠ SPLIT_MULT; (P-1)*MULT_Q < 2^48 — exact in int64
+
 
 def split_hash(key: Column, seed: int = 0) -> Column:
     """Deterministic hash of an integer id into [0, P): two affine
@@ -37,15 +53,41 @@ def split_hash(key: Column, seed: int = 0) -> Column:
     MULT² mod P ≈ 1.83e8, wrapping every ~12 consecutive ids, and
     amplifies the (pre-multiplied) seed to seed*MULT^2 mod P so
     reseeding moves a large fraction of assignments, not just the
-    threshold-adjacent sliver."""
-    r1 = (F.pmod(key.cast("long"), F.lit(HASH_P)) * SPLIT_MULT + seed * SPLIT_MULT) % HASH_P
-    return (r1 * SPLIT_MULT) % HASH_P
+    threshold-adjacent sliver.  pmod (not %) at every reduction: Spark's
+    % follows the dividend's sign, so a negative seed would yield
+    negative hashes that undercut every split threshold and silently
+    dump those rows into the first-named split."""
+    r1 = F.pmod(
+        F.pmod(key.cast("long"), F.lit(HASH_P)) * SPLIT_MULT
+        + seed * SPLIT_MULT,
+        F.lit(HASH_P),
+    )
+    return F.pmod(r1 * SPLIT_MULT, F.lit(HASH_P))
 
 
 def split_hash_sql(key_expr: str, seed: int = 0) -> str:
-    """DuckDB expression computing the identical hash."""
-    r1 = f"((({key_expr}) % {HASH_P}) * {SPLIT_MULT} + {seed} * {SPLIT_MULT}) % {HASH_P}"
-    return f"(({r1}) * {SPLIT_MULT}) % {HASH_P}"
+    """DuckDB expression computing the identical hash (DuckDB's % is also
+    sign-following, so the same double-mod keeps negatives out)."""
+    r1 = (f"(((({key_expr}) % {HASH_P}) * {SPLIT_MULT} + {seed} * {SPLIT_MULT})"
+          f" % {HASH_P} + {HASH_P}) % {HASH_P}")
+    return f"((({r1}) * {SPLIT_MULT}) % {HASH_P} + {HASH_P}) % {HASH_P}"
+
+
+def quota_hash(key: Column, seed: int = 0) -> Column:
+    """group_quota_sample's selection hash: the split hash re-mixed
+    through a different multiplier (order-decorrelated from hash_split —
+    see QUOTA_MULT's note)."""
+    return F.pmod(
+        (split_hash(key, seed) + QUOTA_SEED_SALT) * QUOTA_MULT,
+        F.lit(HASH_P),
+    )
+
+
+def quota_hash_sql(key_expr: str, seed: int = 0) -> str:
+    """DuckDB expression computing the identical quota hash."""
+    base = split_hash_sql(key_expr, seed)
+    return (f"(((({base}) + {QUOTA_SEED_SALT}) * {QUOTA_MULT})"
+            f" % {HASH_P} + {HASH_P}) % {HASH_P}")
 
 
 def hash_split(
@@ -84,9 +126,13 @@ def group_quota_sample(
 ) -> DataFrame:
     """At most ``quota`` rows per ``group_col`` value, chosen by smallest
     deterministic hash (ties broken by key) — an unbiased, reproducible
-    per-domain cap.  One window shuffle on the group key."""
+    per-domain cap.  One window shuffle on the group key.  Selection uses
+    quota_hash (a second multiplier round over the split hash), so the
+    stream is order-decorrelated from hash_split's: composed with the
+    same user seed, quota survivors still spread across train/val/test
+    instead of being exactly the smallest-hash (first-split) rows."""
     w = Window.partitionBy(group_col).orderBy(
-        split_hash(F.col(key), seed).asc(), F.col(key).asc()
+        quota_hash(F.col(key), seed).asc(), F.col(key).asc()
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -112,8 +112,19 @@ class MatchRewriter:
                     "MatchRewriter(spark, index, corpus=docs) — phrase "
                     "verification reads the matching docs' stored text"
                 )
+            # normalize BOTH sides to the tokenizer's case: the candidate
+            # AND uses lowercased terms, so the phrase verify must compare
+            # lowercased phrase against lowercased text or 'Join Hash'
+            # silently matches nothing while match('Join Hash') matches.
+            # Also map the rewriter's configured id/text columns onto
+            # phrase_search's corpus contract (match()/match_any() already
+            # honor id_col).
+            corpus = self.corpus.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.lower(F.col(self.text_col)).alias("text"),
+            )
             return phrase_search(
-                self.index, self.corpus, [terms_str]
+                self.index, corpus, [" ".join(terms)]
             ).select(F.col("doc_id"))
         qdf = self.spark.createDataFrame(
             [(0, terms)], "qid long, terms array<string>"

@@ -132,3 +132,19 @@ def test_display_contains_term(spark, tiny_index, corpus_df):
     rows = display(tiny_index, corpus_df, qdf, numc=20, k=5).collect()
     assert len(rows) == 1
     assert "singletonterm0" in rows[0]["snippet"]
+
+
+def test_extract_text_newline_docs(spark):
+    """'.' must span line terminators ((?s)): text containing '\\n' would
+    otherwise extract as '' with no error."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "html": [b"<html><body>line one\nline two</body></html>",
+                 b"<html><body>plain</body></html>"],
+        "text": ["line one\nline two", "plain"],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = df.withColumn("re_text", extract_text(F.col("html"))).collect()
+    for r in rows:
+        assert r["re_text"] == r["text"]

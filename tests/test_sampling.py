@@ -83,3 +83,40 @@ def test_split_hash_matches_duckdb(spark):
         "FROM generate_series(0, 999) t(i)"
     ).fetchall()
     assert got == {d: h for d, h in duck}
+
+
+def test_quota_sample_composes_with_hash_split(spark):
+    """The quota stream is salted: with the SAME user seed, quota
+    survivors must spread across splits ≈ by weight, not collapse into
+    the first-named split (which is exactly the smallest-hash rows)."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("source")
+    )
+    sampled = group_quota_sample(df, "source", quota=1000, seed=0)
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(sampled, WEIGHTS, seed=0)
+        .groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 4000
+    for name, w in WEIGHTS.items():
+        assert abs(counts.get(name, 0) / n - w) < 0.05, (name, counts)
+
+
+def test_split_hash_negative_seed_stays_nonnegative(spark):
+    """pmod discipline: a negative seed must not produce negative hashes
+    (which would silently dump every affected row into the first split)."""
+    df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    mn = df.select(
+        F.min(split_hash(F.col("doc_id"), seed=-123)).alias("m")
+    ).first()["m"]
+    assert mn >= 0
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(df, WEIGHTS, seed=-123)
+        .groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    for name, w in WEIGHTS.items():
+        assert abs(counts.get(name, 0) / n - w) < 0.03, (name, counts)

@@ -155,3 +155,41 @@ def test_match_any_and_phrase(spark, tiny_index, small_docs, docs_parquet):
         MatchRewriter(spark, tiny_index).rewrite(
             "SELECT 1 FROM t WHERE match_phrase(text, 'a b')"
         )
+
+
+def test_match_phrase_case_and_custom_columns(spark, tmp_path):
+    """match_phrase must honor the tokenizer's normalization (an
+    uppercase query matches lowercase text, like match()) and the
+    rewriter's configured id/text column names."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from full_text_index_spark.build import build_index, prepare_corpus
+    from full_text_index_spark.index import InvertedIndex
+    from full_text_index_spark.sql import MatchRewriter
+
+    pdf = pd.DataFrame({
+        "url": ["http://s/1", "http://s/2"],
+        "text": ["join hash strategies", "hash only here"],
+    })
+    root = str(tmp_path / "sqlidx")
+    corpus = prepare_corpus(spark.createDataFrame(pdf))
+    build_index(spark, corpus, root, n_segments=2, block_size=16)
+    idx = InvertedIndex.open(spark, root)
+    renamed = corpus.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("body")
+    )
+    renamed.createOrReplaceTempView("docs_cc")
+    rw = MatchRewriter(spark, idx, corpus=renamed, id_col="id",
+                       text_col="body")
+    got = {
+        r["id"]
+        for r in rw.sql(
+            "SELECT id FROM docs_cc WHERE match_phrase(body, 'Join Hash')"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in corpus.where(F.col("text").contains("join hash")).collect()
+    }
+    assert got == want and got
