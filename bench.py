@@ -87,7 +87,8 @@ def main() -> None:
         )
     docs.cache()
     n_docs = docs.count()
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path) if os.path.exists(emb_path) else None
 
     timings: dict[str, float] = {}
     diag: dict[str, object] = {}
@@ -108,11 +109,17 @@ def main() -> None:
         # would otherwise hit Spark's CacheManager plan-match on rep 2 (and
         # on any later op sharing the sub-plan), reporting a cache read
         # instead of the op's cost — clear before every rep for those.
+        # clearCache also drops the suite-level docs cache, so it is
+        # re-cached and re-materialized OUTSIDE the timed region: without
+        # that, every op after the first fresh_cache one re-reads the whole
+        # corpus inside its timing and the suite measures I/O, not the op.
         reps = op_reps if reps is None else reps
         out, best = None, None
         for _ in range(max(1, reps)):
             if fresh_cache:
                 spark.catalog.clearCache()
+                docs.cache()
+                docs.count()
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
@@ -172,12 +179,17 @@ def main() -> None:
 
             first_text = (
                 docs.orderBy("doc_id").select("text").first()["text"]
-            )
+            ) or ""
             sub_patterns = sorted({
                 first_text[i * 7: i * 7 + 6 + i % 4]
                 for i in range(20)
                 if len(first_text) >= i * 7 + 9
             })
+            if not sub_patterns:
+                # a corpus whose first doc is tiny/NULL must not crash the
+                # suite — fall back to fixed probes (mostly absent is fine;
+                # the timing still exercises the full plan)
+                sub_patterns = ["the ", "and the", "zzzqzzq"]
             gram_root = tempfile.mkdtemp(prefix="fti_bench_grams_")
             try:
                 timed(
@@ -195,10 +207,13 @@ def main() -> None:
                 sub_rep = [0]
 
                 def _sub_batch():
-                    # stats only on rep 1: on the rarest plan the hook adds
-                    # diagnostic jobs (candidate count, decoded-byte agg), so
-                    # the min-of-2 keeps an undiagnosed rep as the timing
-                    st = sub_stats if sub_rep[0] == 0 else None
+                    # stats only on rep 1, and only when a second rep exists:
+                    # on the rarest plan the hook adds diagnostic jobs
+                    # (candidate count, decoded-byte agg), so the min-of-2
+                    # keeps an undiagnosed rep as the timing — with
+                    # OP_REPS=1 the single timed rep must stay clean instead
+                    st = (sub_stats
+                          if sub_rep[0] == 0 and op_reps >= 2 else None)
                     sub_rep[0] += 1
                     return substring_count(
                         gidx, sub_patterns, stats=st
@@ -215,11 +230,18 @@ def main() -> None:
                 )
                 from full_text_index_spark.regex_search import regex_count
 
+                import re as _re
+
                 # literal-pruned, alternation, scan-fallback and absent
-                # patterns — one batch through every regex routing
+                # patterns — one batch through every regex routing.  Corpus
+                # fragments are re.escape'd: raw text containing '(', '['
+                # or '\\' would otherwise make the pattern malformed and
+                # kill the run
                 rx_pats = sorted(
-                    {f"{p[:4]}[a-z ]*{p[-2:]}" for p in sub_patterns[:6]}
-                ) + ["(%s|%s)" % (sub_patterns[0][:5], sub_patterns[-1][:5]),
+                    {f"{_re.escape(p[:4])}[a-z ]*{_re.escape(p[-2:])}"
+                     for p in sub_patterns[:6]}
+                ) + ["(%s|%s)" % (_re.escape(sub_patterns[0][:5]),
+                                  _re.escape(sub_patterns[-1][:5])),
                      "[0-9]{6,}", "zzzqzz+q"]
                 timed(
                     "regex_batch",
@@ -244,21 +266,23 @@ def main() -> None:
             timed("dedup_minhash_pairs",
                   lambda: D.minhash_lsh_pairs(docs).count(), fresh_cache=True)
             timed("dedup_simhash", lambda: D.simhash(docs).count())
-            timed(
-                "dedup_embedding_pairs",
-                lambda: S.embedding_near_pairs(
-                    emb, threshold=entrymod.EMB_NEARDUP_THRESHOLD
-                ).count(),
-                fresh_cache=True,
-            )
-            timed("ann_cosine_topk",
-                  lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10).collect())
-            timed("ann_lsh_topk",
-                  lambda: S.lsh_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
-                  .collect(), fresh_cache=True)
-            timed("ann_ivf_topk",
-                  lambda: S.ivf_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
-                  .collect(), fresh_cache=True)
+            if emb is not None:  # same guard as events.parquet below
+                timed(
+                    "dedup_embedding_pairs",
+                    lambda: S.embedding_near_pairs(
+                        emb, threshold=entrymod.EMB_NEARDUP_THRESHOLD
+                    ).count(),
+                    fresh_cache=True,
+                )
+                timed("ann_cosine_topk",
+                      lambda: S.cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
+                      .collect())
+                timed("ann_lsh_topk",
+                      lambda: S.lsh_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
+                      .collect(), fresh_cache=True)
+                timed("ann_ivf_topk",
+                      lambda: S.ivf_cosine_topk(emb, entrymod.ANN_QUERY_IDS, k=10)
+                      .collect(), fresh_cache=True)
             timed("doc_fingerprint", lambda: TS.doc_fingerprint(docs).count())
             timed("quality_score", lambda: TS.quality_score(docs).count())
             timed("curation_pipeline", lambda: PL.curate(docs).count())

@@ -63,8 +63,14 @@ def main() -> None:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), file=sys.stderr, flush=True)
         runs.append(rec)
-    ok = [r for r in runs if r.get("queries") and r["load_at_start"] <= LOAD_GATE]
-    rejected = len(runs) - len(ok)
+    # crashed reps (no JSON / rc != 0) are NOT load rejections — conflating
+    # them would read a failing bench as host burstiness and an all-crashed
+    # run would print a silent best-of-0
+    crashed = [r for r in runs if not r.get("queries")]
+    gated = [r for r in runs if r.get("queries")
+             and r["load_at_start"] > LOAD_GATE]
+    ok = [r for r in runs if r.get("queries")
+          and r["load_at_start"] <= LOAD_GATE]
     best: dict[str, float] = {}
     for r in ok:
         for k, v in r["queries"].items():
@@ -72,10 +78,15 @@ def main() -> None:
     print(json.dumps({
         "metric": f"best-of-{len(ok)} load-gated (gate {LOAD_GATE}) per-op sec",
         "cpus": int(cpus), "sf": sf_dir, "reps": reps,
-        "load_rejected": rejected,
+        "load_rejected": len(gated),
+        "crashed": len(crashed),
         "queries": best,
         "loads": [r["load_at_start"] for r in runs],
     }))
+    if not ok:
+        print("bench_gate: NO usable rep (crashed="
+              f"{len(crashed)}, load_rejected={len(gated)})", file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

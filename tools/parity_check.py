@@ -46,11 +46,16 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         for c in na.columns:
             ca, cb = na[c], nb[c]
             if str(ca.dtype).startswith("float") or str(cb.dtype).startswith("float"):
+                # NaN==NaN counts as agreement: a NULL both engines return
+                # arrives here as NaN (pandas coerces nullable numerics to
+                # float64), and isclose(nan, nan) is False — without this a
+                # genuinely-NULL value would false-fail the gate replica
                 bad = [
                     i for i, (x, y) in enumerate(zip(ca, cb))
                     if not (
                         (isinstance(x, float) and isinstance(y, float)
-                         and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9))
+                         and (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                              or (math.isnan(x) and math.isnan(y))))
                         or x == y
                     )
                 ]
@@ -83,6 +88,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not read as a clean pass with nothing checked
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue

@@ -37,9 +37,18 @@ cpus = int(sys.argv[1]); nq = int(sys.argv[2])
 corpus = sys.argv[3]; idx_root = sys.argv[4]
 spark = get_spark(f"qscale-{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
 docs = prepare_corpus(spark.read.parquet(corpus))
-if not os.path.exists(os.path.join(idx_root, "meta.json")):
+# completion sentinel, NOT meta.json: build_index writes meta mid-build
+# (before the postings pack), so a killed build would leave a partial
+# index that a meta-existence check silently reuses.  The sentinel is
+# written only after build_index returns; delete .bench_cache after any
+# postings-format change (same rule as the BENCH sidecars).
+done_marker = os.path.join(idx_root, ".qscale_build_complete")
+if not os.path.exists(done_marker):
     docs.cache()
-    build_index(spark, docs, idx_root, n_segments=32, block_size=128)
+    build_index(spark, docs, idx_root, n_segments=32, block_size=128,
+                resume=False)
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
 idx = InvertedIndex.open(spark, idx_root)
 qdf = benchmod._query_batch(spark, docs, n=nq)
 qdf.cache(); n_q = qdf.count()
