@@ -353,9 +353,97 @@ def minhash_lsh_pairs(docs: DataFrame, n_funcs: int = MINHASH_FUNCS,
     )
 
 
+def _make_simhash_kernel(bits: int):
+    """mapInPandas kernel: (doc_id, text) → (doc_id, simhash), the whole
+    per-doc SimHash computed doc-locally — no explode, no shuffle (the old
+    expression path exploded every (doc, term) row ×bits before two
+    aggregation shuffles: ~10^8 rows at 50k docs for a per-doc-local value).
+
+    Bit-identical to `simhash_expr` / the DuckDB oracle by construction:
+    tokens are the same lowercase-[a-z0-9]+ runs, term grouping is by exact
+    token STRING (pd.factorize — a hash-collision merge of two terms would
+    change the weighted sums), each distinct term is Horner-hashed with the
+    same seed-7 (acc·31 + codepoint) mod P fold Spark's ascii() sees, and
+    the bit sums Σ tf·(2·bit_b−1) are integer arithmetic — exact in any
+    evaluation order."""
+    import numpy as np
+    import pandas as pd
+
+    from full_text_index_spark.functions.textstats import HASH_SEED
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    P = HASH_P
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def kern(iterator):
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "simhash": pd.Series(dtype=np.int64),
+        })
+        for pdf in iterator:
+            tok_lists = [
+                tokenize_py(s) if isinstance(s, str) else [] for s in pdf["text"]
+            ]
+            n_toks = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = [t for lst in tok_lists for t in lst]
+            if not flat:
+                yield empty
+                continue
+            # exact-string term codes; hash only the DISTINCT terms
+            codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+            uterms = uniques.tolist()
+            ulens = np.fromiter((len(t) for t in uterms), dtype=np.int64,
+                                count=len(uterms))
+            cp = np.frombuffer(
+                "".join(uterms).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(ulens)))
+            h = np.full(len(uterms), HASH_SEED, np.int64)
+            for p in range(int(ulens.max())):
+                m = ulens > p
+                h[m] = (h[m] * 31 + cp[offs[:-1][m] + p]) % P
+            # per (doc, term-code) tf: unique on a packed int key
+            doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64),
+                                n_toks)
+            key = doc_idx * len(uterms) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            ud, uc = ukey // len(uterms), ukey % len(uterms)
+            bnd = np.flatnonzero(np.diff(ud, prepend=-1))
+            # s_b = 2·Σ tf·bit_b − Σ tf  (all integers — exact regardless
+            # of summation order, so reduceat == the old groupBy sums)
+            tot = np.add.reduceat(tf, bnd)
+            sim = np.zeros(len(bnd), dtype=np.int64)
+            hu = h[uc]
+            for b in range(bits):
+                pb = np.add.reduceat(tf * ((hu >> b) & 1), bnd)
+                sim += ((2 * pb - tot) > 0).astype(np.int64) << shifts[b]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[ud[bnd]],
+                "simhash": sim,
+            })
+
+    return kern
+
+
 def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
     """Per-doc SimHash over tf-weighted term hashes: bit b is 1 iff
-    Σ_t tf(t)·(2·bit_b(h(t))−1) > 0. Output (doc_id, simhash)."""
+    Σ_t tf(t)·(2·bit_b(h(t))−1) > 0. Output (doc_id, simhash).  Computed by
+    the doc-local Arrow kernel (`_make_simhash_kernel`) — a map-only stage;
+    `simhash_expr` is the same math as Spark column expressions and the
+    in-Spark differential oracle."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _make_simhash_kernel(bits), schema="doc_id long, simhash long"
+    )
+
+
+def simhash_expr(docs: DataFrame, bits: int = 31) -> DataFrame:
+    """Column-expression rendering of `simhash` — kept as the in-Spark
+    differential oracle for the Arrow kernel (tests compare the two
+    bit-for-bit; the DuckDB oracle is the third independent rendering).
+    Explodes every (doc, term) row ×bits through two aggregation shuffles —
+    correct but ~10^3× the rows of the doc-local kernel."""
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     th = tf.withColumn("h", token_hash(F.col("term")))

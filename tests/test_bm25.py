@@ -159,3 +159,56 @@ def test_more_like_this_excludes_self_and_ranks_dups_first(spark, tmp_path_facto
         assert all(d != qid for _, d in hits)            # self excluded
         assert [r for r, _ in hits] == list(range(1, len(hits) + 1))
     assert by_q[1][0][1] == 2                            # near-dup first
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Text of every BroadcastExchange subtree in a physical-plan tree
+    string (subtree = following lines with strictly deeper indentation)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    subtrees = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        block = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            block.append(nxt)
+        subtrees.append("\n".join(block))
+    return subtrees
+
+
+def test_bm25_never_broadcasts_the_dictionary(spark, tiny_index):
+    """The query⋈term_stats join must broadcast the (driver-resident by
+    construction) query side, never the vocab-scale dictionary (VERDICT r05
+    #1): no BroadcastExchange subtree may contain the term_stats scan, in
+    either the exact-scoring path or collapse_topk."""
+    from pyspark.sql import functions as F
+
+    from full_text_index_spark.query import collapse_topk
+
+    queries = spark.createDataFrame(
+        [(0, ["the", "a"]), (1, ["fox"])], "qid long, terms array<string>"
+    )
+    groups = spark.createDataFrame([(1, "g")], "doc_id long, group string")
+    plans = [
+        bm25_topk(tiny_index, queries, k=5, use_blockmax=False)
+        ._jdf.queryExecution().executedPlan().toString(),
+        collapse_topk(tiny_index, queries, groups, k=5)
+        ._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for plan in plans:
+        assert "term_stats" in plan  # the join is present at all
+        for sub in _broadcast_subtrees(plan):
+            # broadcasting the query⋈dictionary JOIN RESULT downstream is
+            # fine (its cardinality is the query batch); broadcasting the
+            # BARE dictionary is the hazard — so a term_stats scan inside a
+            # broadcast subtree must be accompanied by the query-batch scan
+            # (i.e. it is already semi-joined down to query-term rows)
+            if "term_stats" in sub:
+                assert "ExistingRDD" in sub, sub

@@ -547,3 +547,14 @@ def test_sample_frames_stereo_frames_and_header():
     # header fields: byteRate and blockAlign match the channel count
     byte_rate, block_align = struct.unpack_from("<IH", out, 28)
     assert byte_rate == rate * 2 * ch and block_align == 2 * ch
+
+
+def test_simhash_kernel_matches_expr(docs, small_docs):
+    """The doc-local simhash kernel must be bit-identical to the
+    column-expression rendering (`simhash_expr`, the in-Spark differential
+    oracle) on both the edge-case fixture and a 300-doc generated corpus."""
+    for d in (docs, small_docs):
+        kern = {r["doc_id"]: r["simhash"] for r in D.simhash(d).collect()}
+        expr = {r["doc_id"]: r["simhash"]
+                for r in D.simhash_expr(d).collect()}
+        assert kern == expr and len(kern) > 0
