@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from full_text_index_spark.functions.textstats import HASH_P, token_hash
+from full_text_index_spark.functions.util import widen_partitions
 from full_text_index_spark.tokenizer import tokens_col
 
 # minhash parameters — mirrored literally in the SQL oracle
@@ -284,9 +285,10 @@ def _make_minhash_kernel(n_funcs: int, shingle_k: int):
 def _minhash_sig(docs: DataFrame, n_funcs: int, shingle_k: int) -> DataFrame:
     """(doc_id, sig array<long>) via the Arrow kernel — zero shuffles; docs
     with no shingle (fewer than shingle_k tokens) are absent, as everywhere.
-    Scale shape: per-doc-local work inside whatever partitioning the input
-    already has — at 100 TB this is a map stage, nothing moves."""
-    return docs.select("doc_id", "text").mapInPandas(
+    Scale shape: per-doc-local work — at 100 TB this is a map stage over
+    the input's own partitioning; narrow inputs are widened first so the
+    kernel actually uses the cluster (functions.util.widen_partitions)."""
+    return widen_partitions(docs.select("doc_id", "text")).mapInPandas(
         _make_minhash_kernel(n_funcs, shingle_k),
         schema="doc_id long, sig array<long>",
     )
@@ -433,7 +435,7 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
     the doc-local Arrow kernel (`_make_simhash_kernel`) — a map-only stage;
     `simhash_expr` is the same math as Spark column expressions and the
     in-Spark differential oracle."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return widen_partitions(docs.select("doc_id", "text")).mapInPandas(
         _make_simhash_kernel(bits), schema="doc_id long, simhash long"
     )
 

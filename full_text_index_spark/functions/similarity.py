@@ -367,9 +367,10 @@ def lsh_cosine_topk(
 
 NEAR_DUP_THRESHOLD = 0.9
 
-# bucket-local pair scoring: pairs per numpy chunk (bounds the (chunk, dim)
-# temporaries to ~100 MB at dim 64 even inside a pathological hot bucket)
-_PAIR_CHUNK = 200_000
+# bucket-local pair scoring: rows per accumulation block (bounds the
+# (block, pop) score matrix to a few MB so it stays cache-resident even
+# inside a pathological hot bucket)
+_PAIR_BLOCK_ROWS = 512
 
 
 def _make_bucket_pair_kernel(threshold_i: int, id_col: str):
@@ -409,17 +410,28 @@ def _make_bucket_pair_kernel(threshold_i: int, id_col: str):
                 np.float64, copy=False
             )
             nrm = np.sqrt(_fold_rows(V * V))  # == with_norm per row
-            ia, ib = np.triu_indices(len(ids), k=1)
-            for s in range(0, len(ia), _PAIR_CHUNK):
-                ca, cb = ia[s:s + _PAIR_CHUNK], ib[s:s + _PAIR_CHUNK]
-                sims = _fold_rows(V[ca] * V[cb]) / (nrm[ca] * nrm[cb])
+            p = len(ids)
+            # all-pairs dots as a dim-ordered OUTER-PRODUCT accumulation:
+            # acc[r, c] += V[r, d]·V[c, d] in ascending d — per pair this
+            # is the exact cumsum-order fold (0 + x0 == x0 in IEEE), with
+            # no per-pair gather copies: the score block stays in cache
+            # and the inputs are read once per dim (the triu_indices
+            # formulation moved ~2·pairs·dim·8 bytes through fancy
+            # indexing — the dominant cost at 10^7 pairs)
+            for i0 in range(0, p - 1, _PAIR_BLOCK_ROWS):
+                i1 = min(i0 + _PAIR_BLOCK_ROWS, p)
+                acc = np.zeros((i1 - i0, p - i0), dtype=np.float64)
+                for d in range(V.shape[1]):
+                    acc += V[i0:i1, d][:, None] * V[i0:, d][None, :]
+                sims = acc / (nrm[i0:i1][:, None] * nrm[i0:][None, :])
                 sim_i = np.floor(sims * 10_000).astype(np.int64)
-                keep = sim_i >= threshold_i
+                r, c = np.nonzero(sim_i >= threshold_i)
+                keep = c > r  # strict upper triangle: global id_a < id_b
                 if keep.any():
                     yield pd.DataFrame({
-                        "vec_a": ids[ca[keep]],
-                        "vec_b": ids[cb[keep]],
-                        "sim_i": sim_i[keep],
+                        "vec_a": ids[r[keep] + i0],
+                        "vec_b": ids[c[keep] + i0],
+                        "sim_i": sim_i[r[keep], c[keep]],
                     })
         yield empty
 
