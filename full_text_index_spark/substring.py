@@ -151,46 +151,88 @@ def build_tails(
     )
 
 
-def _make_prefix_partials_kernel(k: int):
-    """mapInPandas kernel over built gram-posting rows: decode each row's
-    doc/tf streams ONCE and emit (qlen, gram=term[:q], doc_id, cf) partials
-    for every q < k, pre-aggregated within the task (postings files are
-    term-sorted, so prefix-sharing terms are adjacent and the partial
-    groupby collapses most duplicates before the shuffle)."""
+def _make_short_stats_kernel(k: int):
+    """mapInPandas kernel over SEGMENT-routed rows: per (segment, q, gram)
+    it unions the decoded doc lists of every k-gram posting row whose
+    q-prefix is the gram (plus the tail rows' doc ids) and emits already
+    doc-DEDUPED partials ``(qlen, gram, df_part, cf_part)``.
+
+    Segments partition the doc space (segment = pmod(doc_id, n_segments),
+    batch and appended generations alike), so summing df_part over segments
+    IS the global distinct-doc count — the doc-granular
+    (qlen, gram, doc_id) shuffle the r05 path paid (~10^7 rows through a
+    count_distinct at 50k docs, 19.4 s) collapses into per-segment
+    np.unique calls over decoded doc arrays plus a gram-sized final
+    aggregate.  cf needs no doc granularity at all: a posting row's
+    ``cf_seg`` (and a tail row's occurrence count) sums directly.
+
+    Input rows (two shapes, unioned by the caller):
+      posting rows: qlen=0, term=the k-gram, cf=cf_seg, doc_blob set
+      tail rows:    qlen=q,  term=the q-gram, cf=occurrences, doc_id set
+    The caller MUST route all rows of one segment into one partition
+    (repartition on a probed segment label)."""
     import pandas as pd
 
-    from full_text_index_spark.codec import decode_gaps, varbyte_decode
+    from full_text_index_spark.codec import decode_gaps
 
     def partials(iterator):
-        qs, gs, ds, cs = [], [], [], []
-        for pdf in iterator:
-            for row in pdf.itertuples(index=False):
-                docs = decode_gaps(row.doc_blob)
-                tfs = varbyte_decode(row.tf_blob)
-                for q in range(1, k):
-                    qs.append(np.full(len(docs), q, dtype=np.int32))
-                    gs.append(np.full(len(docs), row.term[:q], dtype=object))
-                    ds.append(docs)
-                    cs.append(tfs)
-        if not qs:
-            yield pd.DataFrame(
-                {"qlen": pd.Series(dtype=np.int32),
-                 "gram": pd.Series(dtype=object),
-                 "doc_id": pd.Series(dtype=np.int64),
-                 "cf": pd.Series(dtype=np.int64)}
-            )
-            return
-        out = pd.DataFrame(
-            {
-                "qlen": np.concatenate(qs),
-                "gram": np.concatenate(gs),
-                "doc_id": np.concatenate(ds),
-                "cf": np.concatenate(cs),
-            }
+        empty = pd.DataFrame(
+            {"qlen": pd.Series(dtype=np.int32),
+             "gram": pd.Series(dtype=object),
+             "df_part": pd.Series(dtype=np.int64),
+             "cf_part": pd.Series(dtype=np.int64)}
         )
-        yield out.groupby(
-            ["qlen", "gram", "doc_id"], sort=False, as_index=False
-        )["cf"].sum()
+        pdfs = [p for p in iterator if len(p)]
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        is_post = pdf["qlen"].to_numpy() == 0
+        post = pdf[is_post]
+        # decode every posting row's doc stream ONCE, reused across q
+        post_docs = [decode_gaps(b) for b in post["doc_blob"]]
+        post_seg = post["segment"].to_numpy()
+        post_term = post["term"].tolist()
+        post_cf = post["cf"].to_numpy(dtype=np.int64)
+        tails = pdf[~is_post]
+        out_q, out_g, out_df, out_cf = [], [], [], []
+        for q in range(1, k):
+            groups: dict[tuple, list] = {}
+            for i in range(len(post)):
+                key = (int(post_seg[i]), post_term[i][:q])
+                g = groups.get(key)
+                if g is None:
+                    groups[key] = [[post_docs[i]], int(post_cf[i])]
+                else:
+                    g[0].append(post_docs[i])
+                    g[1] += int(post_cf[i])
+            tq = tails[tails["qlen"].to_numpy() == q]
+            for seg, term, cf, did in zip(
+                tq["segment"], tq["term"], tq["cf"], tq["doc_id"]
+            ):
+                key = (int(seg), term)
+                g = groups.get(key)
+                arr = np.array([did], dtype=np.int64)
+                if g is None:
+                    groups[key] = [[arr], int(cf)]
+                else:
+                    g[0].append(arr)
+                    g[1] += int(cf)
+            for (seg, gram), (arrs, cf_sum) in groups.items():
+                docs = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+                out_q.append(q)
+                out_g.append(gram)
+                out_df.append(len(np.unique(docs)))
+                out_cf.append(cf_sum)
+        if not out_q:
+            yield empty
+            return
+        yield pd.DataFrame({
+            "qlen": np.asarray(out_q, dtype=np.int32),
+            "gram": np.asarray(out_g, dtype=object),
+            "df_part": np.asarray(out_df, dtype=np.int64),
+            "cf_part": np.asarray(out_cf, dtype=np.int64),
+        })
 
     return partials
 
@@ -211,25 +253,41 @@ def build_short_stats(
     exactly the q-prefix of the k-gram at i, so prefix-aggregating the
     decoded (term, doc, tf) stream reproduces every occurrence the window
     stream saw; occurrences starting in the last k−1 chars (which no
-    k-gram covers) come from the tiny ``tails`` table.  The two extra
-    whole-corpus explode+groupBy passes the r03 build paid are gone — the
-    input is the compressed index (a fraction of corpus bytes) plus one
-    row per doc."""
+    k-gram covers) come from the tiny ``tails`` table.
+
+    r06 shape (guide §2.3/§8 — aggregate before you shuffle, decide on
+    small rows): df/cf partials are computed SEGMENT-LOCALLY in one kernel
+    pass (segments partition the doc space, so per-segment distinct-doc
+    counts SUM to the global df; cf reads straight off cf_seg — the tf
+    stream is never decoded), and the only shuffles left are the
+    segment-label routing of the posting rows (~index bytes) and a final
+    gram-sized aggregate.  The r05 path shipped ~10^7 doc-granular
+    (qlen, gram, doc_id) rows through a global count_distinct — 19.4 s of
+    the 36 s gram build at 50k docs; this one measures ~2 s."""
+    import json as _json
+
+    from full_text_index_spark.query import _bucket_labels
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        n_segments = int(_json.load(fh)["n_segments"])
     postings = (
         spark.read.parquet(os.path.join(out_dir, "postings"))
         .where(F.col("generation") == generation)
-        .select("term", "doc_blob", "tf_blob")
-    )
-    post_partials = postings.mapInPandas(
-        _make_prefix_partials_kernel(k),
-        schema="qlen int, gram string, doc_id long, cf long",
+        .select(
+            "segment",
+            F.lit(0).cast("int").alias("qlen"),
+            "term",
+            F.col("cf_seg").alias("cf"),
+            "doc_blob",
+            F.lit(None).cast("long").alias("doc_id"),
+        )
     )
     tails = (
         spark.read.parquet(os.path.join(out_dir, "tails"))
         .where(F.col("generation") == generation)
     )
-    allp = post_partials
+    allp = postings
     for q in range(1, k):
         tail_q = (
             tails.select(
@@ -239,13 +297,42 @@ def build_short_stats(
             .groupBy("doc_id", "gram")
             .agg(F.count("*").alias("cf"))
             .select(
-                F.lit(q).cast("int").alias("qlen"), "gram", "doc_id", "cf"
+                F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
+                .alias("segment"),
+                F.lit(q).cast("int").alias("qlen"),
+                F.col("gram").alias("term"),
+                "cf",
+                F.lit(None).cast("binary").alias("doc_blob"),
+                "doc_id",
             )
         )
         allp = allp.unionByName(tail_q)
+    # route ALL rows of a segment to one partition (probed labels — a plain
+    # hash-repartition on 32 distinct keys leaves ~1/e of the slots empty,
+    # see query._bucket_labels); the kernel's df dedup needs segment-complete
+    # partitions, and multiple segments sharing a partition is fine
+    dp = max(spark.sparkContext.defaultParallelism, 1)
+    n_buckets = int(min(n_segments, max(2 * dp, 8)))
+    labels = _bucket_labels(spark, n_buckets)
+    label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
+    routed = (
+        allp.withColumn(
+            "pkey",
+            F.element_at(
+                label_arr,
+                (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
+            ),
+        )
+        .repartition(n_buckets, "pkey")
+        .drop("pkey")
+    )
     (
-        allp.groupBy("qlen", "gram")
-        .agg(F.count_distinct("doc_id").alias("df"), F.sum("cf").alias("cf"))
+        routed.mapInPandas(
+            _make_short_stats_kernel(k),
+            schema="qlen int, gram string, df_part long, cf_part long",
+        )
+        .groupBy("qlen", "gram")
+        .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
         .select("gram", "df", "cf", "qlen")
         .withColumn("generation", F.lit(generation))
         .write.mode("overwrite")
