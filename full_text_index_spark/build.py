@@ -118,7 +118,8 @@ def _varbyte_sizes(values: np.ndarray) -> np.ndarray:
     return nb
 
 
-def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _pack_runs(pdf: pd.DataFrame, block_size: int,
+               term_decode=None) -> pd.DataFrame:
     """Collapse a sorted token-level stream ``(segment, term, doc_id, doclen
     [, tpos])`` — sorted by (segment, term, doc_id[, tpos]) — into compressed
     posting rows.  tf aggregation (run length per (segment, term, doc_id))
@@ -212,6 +213,9 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     tf_start = tf_end - tf_sizes
     dl_start = dl_end - dl_sizes
 
+    # int-coded terms (gram streams ship packed codes through the shuffle)
+    # are decoded back to strings ONCE PER RUN — vocab-sized work, not
+    # row-count work
     rows = []
     for s, e in zip(run_starts, run_ends):
         n = e - s
@@ -235,9 +239,10 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         # dl), so incremental appends that shift avgdl stay admissible
         b_max_tf = np.maximum.reduceat(tf[s:e], b_idx - s).astype(np.int32)
         b_min_dl = np.minimum.reduceat(dl[s:e], b_idx - s).astype(np.int32)
+        term_out = term_decode(int(term[s])) if term_decode else term[s]
         rows.append(
             (
-                int(seg[s]), term[s], int(n), int(tf[s:e].sum()),
+                int(seg[s]), term_out, int(n), int(tf[s:e].sum()),
                 blob_d, blob_t, blob_l, blob_p,
                 len(blob_d), len(blob_t), len(blob_l), len(blob_p),
                 block_last.tolist(), block_doc_off.tolist(), block_tf_off.tolist(),
@@ -249,10 +254,11 @@ def _pack_runs(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_PACK_COLUMNS)
 
 
-def _pack_map_in_pandas(block_size: int):
+def _pack_map_in_pandas(block_size: int, term_decode=None):
     """mapInPandas packer (token-level input) with carry-over so a
     (segment, term) run spanning Arrow batch boundaries inside one partition
-    is aggregated and packed once."""
+    is aggregated and packed once.  ``term_decode`` (from the stream) maps
+    int-coded terms back to their strings at run granularity."""
 
     def pack(iterator):
         pending: pd.DataFrame | None = None
@@ -271,9 +277,9 @@ def _pack_map_in_pandas(block_size: int):
             head = pdf.iloc[: len(pdf) - n_tail]
             pending = pdf.iloc[len(pdf) - n_tail:]
             if len(head):
-                yield _pack_runs(head, block_size)
+                yield _pack_runs(head, block_size, term_decode)
         if pending is not None and len(pending):
-            yield _pack_runs(pending, block_size)
+            yield _pack_runs(pending, block_size, term_decode)
 
     return pack
 
@@ -598,6 +604,7 @@ def build_index(
     # through exactly ONE wide shuffle — (segment, term) — straight into
     # the aggregating packer.
     docs_dl = docs.join(ds.select("doc_id", "doclen"), "doc_id")
+    term_decode = getattr(stream, "term_decode", None)
     sort_keys = ["segment", "term", "doc_id"] + (["tpos"] if positions else [])
     pack_cols = ["segment", "term", "doc_id", "doclen"] + (
         ["tpos"] if positions else []
@@ -613,15 +620,41 @@ def build_index(
         scope = docs_dl if len(todo) == n_segments else docs_dl.where(
             F.col("segment").isin([int(s) for s in todo])
         )
-        shuffled = (
-            stream(scope)
-            .select(*pack_cols)  # prune pre-shuffle: tpos ships only when packed
-            .repartition(sp, "segment", "term")
-        )
         if positions:
+            # positional builds route the wide shuffle by probed SEGMENT
+            # label (query._bucket_labels — plain hash on n_segments keys
+            # leaves ~1/e slots idle): each pack task then holds WHOLE
+            # segments, so the partitionBy(generation, segment) write emits
+            # one file per (task, segment) = n_segments files instead of
+            # sp × n_segments small ones (guide §6 — small files hurt
+            # twice).  Only the positional branch can do this: the token
+            # branch's JVM tf aggregation reuses the exchange via the
+            # subset-partitioning rule, which a label column would break.
+            from full_text_index_spark.query import _bucket_labels
+
+            dp = max(spark.sparkContext.defaultParallelism, 1)
+            n_buckets = int(min(n_segments, max(2 * dp, 8)))
+            labels = _bucket_labels(spark, n_buckets)
+            label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
+            route = F.element_at(
+                label_arr,
+                (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
+            )
+            shuffled = (
+                stream(scope)
+                .select(*pack_cols)
+                .withColumn("pkey", route)
+                .repartition(n_buckets, "pkey")
+                .drop("pkey")
+            )
             # the sorted occurrence rows are themselves the position stream
             pack_in = shuffled.sortWithinPartitions(*sort_keys)
         else:
+            shuffled = (
+                stream(scope)
+                .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
+                .repartition(sp, "segment", "term")
+            )
             # tf aggregation runs JVM-side on the already-(segment, term)-
             # clustered partitions — Catalyst adds NO second exchange, and
             # the Arrow hop ships one row per posting, not per occurrence
@@ -632,7 +665,10 @@ def build_index(
             )
         packed = (
             pack_in
-            .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
+            .mapInPandas(
+                _pack_map_in_pandas(block_size, term_decode),
+                schema=POSTINGS_SCHEMA,
+            )
             .withColumn("generation", F.lit(0))
         )
         packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(

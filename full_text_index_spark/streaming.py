@@ -126,19 +126,40 @@ def append_generation(
     # rides the explode; raw token stream → one (segment, term) shuffle →
     # aggregating packer
     docs_dl = docs.join(ds_all.select("doc_id", "doclen"), "doc_id")
+    term_decode = getattr(stream, "term_decode", None)
     sort_keys = ["segment", "term", "doc_id"] + (["tpos"] if positions else [])
     pack_cols = ["segment", "term", "doc_id", "doclen"] + (
         ["tpos"] if positions else []
     )
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = (
-        stream(docs_dl)
-        .select(*pack_cols)  # prune pre-shuffle: tpos ships only when packed
-        .repartition(sp, "segment", "term")
-    )
     if positions:
+        # probed segment-label routing, mirroring build_index's positional
+        # branch: whole segments per pack task → n_segments output files
+        # instead of sp × n_segments (guide §6)
+        from full_text_index_spark.query import _bucket_labels
+
+        dp = max(spark.sparkContext.defaultParallelism, 1)
+        n_buckets = int(min(n_segments, max(2 * dp, 8)))
+        labels = _bucket_labels(spark, n_buckets)
+        label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
+        route = F.element_at(
+            label_arr,
+            (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
+        )
+        shuffled = (
+            stream(docs_dl)
+            .select(*pack_cols)
+            .withColumn("pkey", route)
+            .repartition(n_buckets, "pkey")
+            .drop("pkey")
+        )
         pack_in = shuffled.sortWithinPartitions(*sort_keys)
     else:
+        shuffled = (
+            stream(docs_dl)
+            .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
+            .repartition(sp, "segment", "term")
+        )
         # tf aggregation runs JVM-side on the already-clustered partitions
         # (no second exchange); Arrow ships one row per posting
         pack_in = (
@@ -148,7 +169,10 @@ def append_generation(
         )
     packed = (
         pack_in
-        .mapInPandas(_pack_map_in_pandas(block_size), schema=POSTINGS_SCHEMA)
+        .mapInPandas(
+            _pack_map_in_pandas(block_size, term_decode),
+            schema=POSTINGS_SCHEMA,
+        )
         .withColumn("generation", F.lit(generation))
     )
     packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(

@@ -85,16 +85,50 @@ def make_gram_stream(k: int):
             F.array().cast("array<int>")
         )
         carry = [c for c in ("doclen",) if c in docs.columns]
-        return (
-            docs.select(
-                "doc_id", "segment", *carry, "text",
-                F.explode(starts).alias("tpos"),
-            )
-            .select(
-                "doc_id", "segment", *carry,
-                t.substr(F.col("tpos"), F.lit(k)).alias("term"), "tpos",
-            )
+        rows = docs.select(
+            "doc_id", "segment", *carry, "text",
+            F.explode(starts).alias("tpos"),
         )
+        rows = rows.select(
+            "doc_id", "segment", *carry,
+            t.substr(F.col("tpos"), F.lit(k)).alias("gstr"), "tpos",
+        )
+        if k <= 3:
+            # ship the gram as a packed INT code, not a string (guide
+            # §2.3 — narrower shuffle keys): 21 bits per codepoint (any
+            # Unicode scalar < 2^21) fits k ≤ 3 in one long.  The
+            # (segment, term) shuffle and the within-partition sort then
+            # move/compare fixed-width longs instead of UTF8 strings, and
+            # the packer's per-row equality scans are int vector compares;
+            # only the ~vocab-sized run TERMS are ever decoded back to
+            # strings (stream.term_decode), so the parquet layout is
+            # byte-identical.  Code order is codepoint-lexicographic —
+            # irrelevant to packing, which needs only run contiguity and
+            # doc order within runs.  The code is computed from the
+            # ALREADY-EXTRACTED k-char gram — char access on the long text
+            # column re-walks UTF-8 from offset 0 per call (O(|doc|) each),
+            # on the 3-char gram it is O(1).
+            g = F.col("gstr")
+            code = F.ascii(g).cast("long")
+            for i in range(1, k):
+                code = code * F.lit(1 << 21) + F.ascii(
+                    F.substring(g, i + 1, 1)
+                ).cast("long")
+            term = code
+        else:
+            term = F.col("gstr")
+        return rows.select(
+            "doc_id", "segment", *carry, term.alias("term"), "tpos"
+        )
+
+    if k <= 3:
+        def term_decode(code: int) -> str:
+            return "".join(
+                chr((code >> (21 * (k - 1 - i))) & 0x1FFFFF)
+                for i in range(k)
+            )
+
+        stream.term_decode = term_decode
 
     # closed-form per-doc gram count: max(len−k+1, 0) — lets the build's
     # doc-stats pass skip generating the gram stream entirely (build.
