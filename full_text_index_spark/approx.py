@@ -531,9 +531,12 @@ def approx_locate(
             from full_text_index_spark.deletes import mask_deleted
 
             scan_docs = mask_deleted(index, scan_docs)
+        from full_text_index_spark.functions.util import widen_partitions
+
         parts.append(
-            scan_docs.mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
-                                  schema=out_schema)
+            widen_partitions(scan_docs)
+            .mapInPandas(_make_scan_kernel(sorted(scanned), pat_edits),
+                         schema=out_schema)
         )
     if not parts:
         return spark.createDataFrame([], out_schema)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from full_text_index_spark.codec import decode_gaps, varbyte_decode
+from full_text_index_spark.functions.util import widen_partitions
 from full_text_index_spark.index import InvertedIndex
 
 # final ranking rounds scores to 6 decimals before ordering so rank identity
@@ -340,8 +341,11 @@ def _decode_postings(postings: DataFrame) -> DataFrame:
                 )
             )
 
-    return postings.select(
-        "segment", "term", "doc_blob", "tf_blob", "dl_blob"
+    # widen: the decode kernel inherits SCAN parallelism, and a
+    # well-sized postings layout (few large files) packs into few scan
+    # tasks — round-robin the blob rows first (no-op on wide scans)
+    return widen_partitions(
+        postings.select("segment", "term", "doc_blob", "tf_blob", "dl_blob")
     ).mapInPandas(
         decode, schema="segment int, term string, doc_id long, tf long, doclen long"
     )
@@ -862,9 +866,12 @@ def term_positions(index: InvertedIndex, terms: list[str],
 
     from full_text_index_spark.deletes import mask_deleted
 
+    # widen: the positional decode is the CPU stage of every substring /
+    # approx / snippet plan, and it inherits scan parallelism — few large
+    # posting files would otherwise serialize it (no-op on wide scans)
     return mask_deleted(
         index,
-        matched.select(*cols).mapInPandas(
+        widen_partitions(matched.select(*cols)).mapInPandas(
             decode, schema="term string, doc_id long, tpos long"
         ),
     )
@@ -1733,9 +1740,11 @@ def wildcard_term_search(index: InvertedIndex,
     docs_agg = (
         mask_deleted(
             index,
-            index.postings()
-            .join(F.broadcast(matched.select("pattern", "term")), "term")
-            .select("pattern", "doc_blob")
+            widen_partitions(
+                index.postings()
+                .join(F.broadcast(matched.select("pattern", "term")), "term")
+                .select("pattern", "doc_blob")
+            )
             .mapInPandas(_decode_doc_ids_kernel,
                          schema="pattern string, doc_id long"),
         )
