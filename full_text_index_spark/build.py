@@ -620,49 +620,38 @@ def build_index(
         scope = docs_dl if len(todo) == n_segments else docs_dl.where(
             F.col("segment").isin([int(s) for s in todo])
         )
-        if positions:
-            # positional builds route the wide shuffle by probed SEGMENT
-            # label (query._bucket_labels — plain hash on n_segments keys
-            # leaves ~1/e slots idle): each pack task then holds WHOLE
-            # segments, so the partitionBy(generation, segment) write emits
-            # one file per (task, segment) = n_segments files instead of
-            # sp × n_segments small ones (guide §6 — small files hurt
-            # twice).  Only the positional branch can do this: the token
-            # branch's JVM tf aggregation reuses the exchange via the
-            # subset-partitioning rule, which a label column would break.
-            from full_text_index_spark.query import _bucket_labels
+        # route the wide shuffle by probed SEGMENT label
+        # (query._bucket_labels — plain hash on n_segments keys leaves
+        # ~1/e slots idle): each pack task then holds WHOLE segments, so
+        # the partitionBy(generation, segment) write emits one file per
+        # (task, segment) = n_segments well-sized files instead of
+        # sp × n_segments small ones (guide §6 — small files hurt twice;
+        # measured: the token build's write was ~3.9 s of its 5.1 s pack
+        # phase at 50k docs).  tf aggregation happens inside the packer's
+        # token-level branch (the same numpy boundary scan the positional
+        # path uses) — the former JVM groupBy behind the exchange only
+        # reduced Arrow rows ~1.8×, which the file-count win dwarfs.
+        # Shuffle bytes are unchanged: raw occurrences crossed the wire
+        # in both designs.
+        from full_text_index_spark.query import _bucket_labels
 
-            dp = max(spark.sparkContext.defaultParallelism, 1)
-            n_buckets = int(min(n_segments, max(2 * dp, 8)))
-            labels = _bucket_labels(spark, n_buckets)
-            label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
-            route = F.element_at(
-                label_arr,
-                (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
-            )
-            shuffled = (
-                stream(scope)
-                .select(*pack_cols)
-                .withColumn("pkey", route)
-                .repartition(n_buckets, "pkey")
-                .drop("pkey")
-            )
-            # the sorted occurrence rows are themselves the position stream
-            pack_in = shuffled.sortWithinPartitions(*sort_keys)
-        else:
-            shuffled = (
-                stream(scope)
-                .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
-                .repartition(sp, "segment", "term")
-            )
-            # tf aggregation runs JVM-side on the already-(segment, term)-
-            # clustered partitions — Catalyst adds NO second exchange, and
-            # the Arrow hop ships one row per posting, not per occurrence
-            pack_in = (
-                shuffled.groupBy("segment", "term", "doc_id")
-                .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
-                .sortWithinPartitions(*sort_keys)
-            )
+        dp = max(spark.sparkContext.defaultParallelism, 1)
+        n_buckets = int(min(n_segments, max(2 * dp, 8)))
+        labels = _bucket_labels(spark, n_buckets)
+        label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
+        route = F.element_at(
+            label_arr,
+            (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
+        )
+        shuffled = (
+            stream(scope)
+            .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
+            .withColumn("pkey", route)
+            .repartition(n_buckets, "pkey")
+            .drop("pkey")
+        )
+        # the sorted occurrence rows are themselves the position stream
+        pack_in = shuffled.sortWithinPartitions(*sort_keys)
         packed = (
             pack_in
             .mapInPandas(

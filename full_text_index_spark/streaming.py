@@ -131,42 +131,28 @@ def append_generation(
     pack_cols = ["segment", "term", "doc_id", "doclen"] + (
         ["tpos"] if positions else []
     )
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if positions:
-        # probed segment-label routing, mirroring build_index's positional
-        # branch: whole segments per pack task → n_segments output files
-        # instead of sp × n_segments (guide §6)
-        from full_text_index_spark.query import _bucket_labels
+    # probed segment-label routing, mirroring build_index: whole segments
+    # per pack task → n_segments output files instead of sp × n_segments
+    # (guide §6); tf aggregation happens inside the packer's token-level
+    # branch, same as the batch build
+    from full_text_index_spark.query import _bucket_labels
 
-        dp = max(spark.sparkContext.defaultParallelism, 1)
-        n_buckets = int(min(n_segments, max(2 * dp, 8)))
-        labels = _bucket_labels(spark, n_buckets)
-        label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
-        route = F.element_at(
-            label_arr,
-            (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
-        )
-        shuffled = (
-            stream(docs_dl)
-            .select(*pack_cols)
-            .withColumn("pkey", route)
-            .repartition(n_buckets, "pkey")
-            .drop("pkey")
-        )
-        pack_in = shuffled.sortWithinPartitions(*sort_keys)
-    else:
-        shuffled = (
-            stream(docs_dl)
-            .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
-            .repartition(sp, "segment", "term")
-        )
-        # tf aggregation runs JVM-side on the already-clustered partitions
-        # (no second exchange); Arrow ships one row per posting
-        pack_in = (
-            shuffled.groupBy("segment", "term", "doc_id")
-            .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
-            .sortWithinPartitions(*sort_keys)
-        )
+    dp = max(spark.sparkContext.defaultParallelism, 1)
+    n_buckets = int(min(n_segments, max(2 * dp, 8)))
+    labels = _bucket_labels(spark, n_buckets)
+    label_arr = F.array(*[F.lit(v).cast("long") for v in labels])
+    route = F.element_at(
+        label_arr,
+        (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
+    )
+    shuffled = (
+        stream(docs_dl)
+        .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
+        .withColumn("pkey", route)
+        .repartition(n_buckets, "pkey")
+        .drop("pkey")
+    )
+    pack_in = shuffled.sortWithinPartitions(*sort_keys)
     packed = (
         pack_in
         .mapInPandas(
