@@ -644,18 +644,46 @@ def _kmeans_step(memb, id_col, vec_col):
     (float summation order would differ between engines; integer sums are
     associative, so the refined centroids are bit-identical in Spark and the
     DuckDB oracle).  Empty clusters drop out."""
-    dims = memb.select(
-        "cent_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
-    ).withColumn(
-        # float32 → double FIRST (exact), then scale: float32 arithmetic
-        # would round differently than the oracle's
-        "sval", F.floor(F.col("val").cast("double") * CENT_SCALE).cast("long")
-    )
-    # every member contributes exactly one row per dim, so count(*) per
-    # (cent_id, dim) IS the member count — no second memb aggregation or
-    # join needed; same n, same mean, one shuffle per pass instead of three
-    sums = dims.groupBy("cent_id", "dim").agg(
-        F.sum("sval").alias("sum_sval"), F.count(F.lit(1)).alias("n")
+    # per-partition PARTIAL integer sums in one Arrow kernel (float32 →
+    # float64 first — exact — then floor-scale, exactly the old
+    # posexplode+cast expression): the explode multiplied the shuffle by
+    # dim (1.3M rows per Lloyd pass at 20k×64); partials ship
+    # ~n_centroids·dim rows per partition instead.  Integer sums are
+    # associative, so partial-then-final equals the old single groupBy
+    # bit-for-bit.
+    import pandas as pd
+
+    def partial_sums(iterator):
+        empty = pd.DataFrame({
+            "cent_id": pd.Series(dtype=np.int64),
+            "dim": pd.Series(dtype=np.int32),
+            "sum_sval": pd.Series(dtype=np.int64),
+            "n": pd.Series(dtype=np.int64),
+        })
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy().tolist()).astype(np.float64)
+            sval = np.floor(V * CENT_SCALE).astype(np.int64)
+            cids = pdf["cent_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(cids, kind="stable")
+            cids, sval = cids[order], sval[order]
+            bnd = np.flatnonzero(np.diff(cids, prepend=-1))
+            sums = np.add.reduceat(sval, bnd, axis=0)  # (n_cents, dim)
+            counts = np.diff(np.append(bnd, len(cids)))
+            n_c, d = sums.shape
+            yield pd.DataFrame({
+                "cent_id": np.repeat(cids[bnd], d),
+                "dim": np.tile(np.arange(d, dtype=np.int32), n_c),
+                "sum_sval": sums.ravel(),
+                "n": np.repeat(counts, d),
+            })
+        yield empty
+
+    sums = memb.select("cent_id", vec_col).mapInPandas(
+        partial_sums, schema="cent_id long, dim int, sum_sval long, n long"
+    ).groupBy("cent_id", "dim").agg(
+        F.sum("sum_sval").alias("sum_sval"), F.sum("n").alias("n")
     )
     return (
         sums

@@ -498,26 +498,43 @@ def _locate_via_all_windows(index: InvertedIndex,
     corpus-wide position list.  Kept for workloads whose grams are all
     cheap or uniformly common (the cost-based chooser picks it there)."""
     spark = index.spark
+    # patterns ride the wide aggregation as small int pids, not strings
+    # (guide §2.3 — shuffle fewer bytes: the groupBy moves ~cf(all grams)
+    # rows, and the pattern string was its widest key); the string comes
+    # back via a broadcast join over the |patterns|-row map at the end
+    pats = sorted(set(patterns))
+    pid_of = {p: i for i, p in enumerate(pats)}
     slot_rows = []
-    for p in patterns:
+    for p in pats:
         for i in range(len(p) - _gram_k(index) + 1):
-            slot_rows.append((p, i, p[i:i + _gram_k(index)], len(p) - _gram_k(index) + 1))
+            slot_rows.append(
+                (pid_of[p], i, p[i:i + _gram_k(index)],
+                 len(p) - _gram_k(index) + 1)
+            )
     slots = spark.createDataFrame(
-        slot_rows, "pattern string, slot int, term string, n_slots int"
+        slot_rows, "pid int, slot int, term string, n_slots int"
+    )
+    pid_map = spark.createDataFrame(
+        [(i, p) for p, i in pid_of.items()], "pid int, pattern string"
     )
     grams = sorted({r[2] for r in slot_rows})
     gp = term_positions(index, grams)
-    # aligned window start p0 = cpos − slot; a DISTINCT hit per slot means
-    # every char of the pattern matched (windows cover all of P)
+    # aligned window start p0 = cpos − slot; a hit per slot means every
+    # char of the pattern matched (windows cover all of P).  count(*) IS
+    # the distinct slot count here: gp rows are unique per (term, doc,
+    # tpos) and slot rows per (pid, slot), so no (pid, slot, doc, cpos)
+    # pair can repeat — count_distinct only added a second aggregation
+    # layer over the widest shuffle of the plan.
     return (
         gp.join(F.broadcast(slots), "term")
         .select(
-            "pattern", "n_slots", "doc_id", "slot",
+            "pid", "n_slots", "doc_id",
             (F.col("tpos") - F.col("slot")).alias("cpos"),
         )
-        .groupBy("pattern", "n_slots", "doc_id", "cpos")
-        .agg(F.count_distinct("slot").alias("n_hit"))
+        .groupBy("pid", "n_slots", "doc_id", "cpos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
         .where(F.col("n_hit") == F.col("n_slots"))
+        .join(F.broadcast(pid_map), "pid")
         .select("pattern", "doc_id", "cpos")
     )
 
