@@ -479,7 +479,12 @@ def approx_locate(
                 .join(F.broadcast(pg), "gram")
                 .groupBy("pattern", "doc_id")
                 .agg(
-                    F.count_distinct("gram").alias("ng"),
+                    # size(collect_set) == count_distinct, but mixing a
+                    # distinct agg with collect_set makes Catalyst plan an
+                    # Expand (row doubling) + extra aggregate layer over
+                    # the widest shuffle of this plan; two plain set aggs
+                    # stay single-layer
+                    F.size(F.collect_set("gram")).cast("long").alias("ng"),
                     F.sort_array(F.collect_set(
                         F.col("cpos") - F.col("slot")
                     )).alias("anchors"),

@@ -435,9 +435,18 @@ def regex_docs(
                     stats["pruned"].pop(p, None)
         cand_parts = []
         if long_pairs:
+            # doc-level gram containment, not positional locate: the rlike
+            # below re-verifies every candidate anyway, so the aligned
+            # positions (position-blob decode + alignment shuffle over
+            # Σ cf rows) bought nothing — candidates from the doc streams
+            # alone are a deterministic superset at Σ df cost
+            from full_text_index_spark.substring import (
+                substring_candidate_docs,
+            )
+
             lits = sorted({lit for _, lit in long_pairs})
             cand_parts.append(
-                substring_locate(index, lits)
+                substring_candidate_docs(index, lits)
                 .select(F.col("pattern").alias("lit"), "doc_id")
             )
         if short_pairs:

@@ -1045,6 +1045,65 @@ def substring_locate_short(index: InvertedIndex,
     return mask_deleted(index, out)
 
 
+def substring_candidate_docs(index: InvertedIndex,
+                             patterns: list[str]) -> DataFrame:
+    """(pattern, doc_id) for every doc containing EVERY window gram of the
+    pattern — a deterministic SUPERSET of the docs containing the pattern
+    (grams may be present unaligned).  For callers that re-verify matches
+    downstream (regex_docs' rlike): only the doc-id streams are decoded —
+    no position blobs, no alignment shuffle — so the pruning cost tracks
+    Σ df of the window grams instead of Σ cf of their positions.  All
+    patterns must be ≥ the index's gram length."""
+    import pandas as pd
+
+    from full_text_index_spark.deletes import mask_deleted
+    from full_text_index_spark.functions.util import widen_partitions
+    from full_text_index_spark.query import _matched_postings
+
+    spark = index.spark
+    k = _gram_k(index)
+    pats = sorted(set(patterns))
+    if any(len(p) < k for p in pats):
+        raise ValueError(f"substring_candidate_docs needs patterns of length >= {k}")
+    pairs = sorted({(p, p[i:i + k]) for p in pats
+                    for i in range(len(p) - k + 1)})
+    pg = spark.createDataFrame(pairs, "pattern string, term string")
+    ng_rows = {}
+    for p, _ in pairs:
+        ng_rows[p] = ng_rows.get(p, 0) + 1
+    ng = spark.createDataFrame(sorted(ng_rows.items()),
+                               "pattern string, n_grams long")
+    grams = sorted({g for _, g in pairs})
+
+    def decode(iterator):
+        from full_text_index_spark.codec import decode_gaps
+
+        for pdf in iterator:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                outs.append(pd.DataFrame({
+                    "term": row.term, "doc_id": decode_gaps(row.doc_blob),
+                }))
+            yield (pd.concat(outs, ignore_index=True) if outs
+                   else pd.DataFrame(columns=["term", "doc_id"]))
+
+    decoded = widen_partitions(
+        _matched_postings(index, grams).select("term", "doc_blob")
+    ).mapInPandas(decode, schema="term string, doc_id long")
+    # one decoded row per (generation, segment, term) and a doc lives in
+    # exactly one of those per term, so count(*) per (pattern, doc) IS the
+    # distinct-gram count
+    return (
+        mask_deleted(index, decoded)
+        .join(F.broadcast(pg), "term")
+        .groupBy("pattern", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ng"))
+        .join(F.broadcast(ng), "pattern")
+        .where(F.col("ng") == F.col("n_grams"))
+        .select("pattern", "doc_id")
+    )
+
+
 def _locate_any(index: InvertedIndex, patterns: list[str]) -> DataFrame:
     """Dispatcher: ANY pattern length ≥ 1 located from the index — short
     patterns via the prefix-gram + tails plan, the rest via the window
