@@ -1805,24 +1805,39 @@ def phrase_search(index: InvertedIndex, corpus: DataFrame,
     qrows = [(i, p, tokenize_py(p)) for i, p in enumerate(phrases)]
     qdf = spark.createDataFrame(qrows, "qid long, phrase string, terms array<string>")
     cand = boolean_and(index, qdf.select("qid", "terms"))
-    pt = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    pp = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
-    # sequence(1, n) counts DOWN when n <= 0 — guard the enumerator
-    occ = (
-        F.when(
-            F.length(pt) >= F.length(pp),
-            F.size(F.filter(
-                F.sequence(F.lit(1), F.length(pt) - F.length(pp) + 1),
-                lambda i: pt.substr(i, F.length(pp)) == pp,
-            )),
-        )
-        .otherwise(F.lit(0))
-    ).cast("long")
+
+    # overlapping-count verify in an Arrow kernel: the old column-HOF
+    # enumerated every char offset, each invoking substr — which re-walks
+    # UTF-8 from offset 0 — i.e. O(|text|²·|phrase|) interpreted work per
+    # candidate (13.7 s for 5000 docs at sf0.1).  str.find with start+1
+    # counts the IDENTICAL overlapping occurrences in O(|text|) C code.
+    def count_occurrences(iterator):
+        for pdf in iterator:
+            texts = pdf["text"]
+            phrases = pdf["phrase"]
+            ns = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                s = " " + (texts.iloc[i] or "") + " "
+                p = " " + phrases.iloc[i] + " "
+                n, j = 0, s.find(p)
+                while j != -1:
+                    n += 1
+                    j = s.find(p, j + 1)
+                ns[i] = n
+            out = pd.DataFrame({
+                "phrase": phrases, "doc_id": pdf["doc_id"],
+                "n_occurrences": ns,
+            })
+            yield out[out["n_occurrences"] > 0]
+
     return (
         cand.join(F.broadcast(qdf.select("qid", "phrase")), "qid")
         .join(corpus.select("doc_id", "text"), "doc_id")
-        .select("phrase", "doc_id", occ.alias("n_occurrences"))
-        .where(F.col("n_occurrences") > 0)
+        .select("phrase", "doc_id", "text")
+        .mapInPandas(
+            count_occurrences,
+            schema="phrase string, doc_id long, n_occurrences long",
+        )
     )
 
 
@@ -1895,35 +1910,53 @@ def display_all_occurrences(
     Output: (term, doc_id, occ_idx 1-based, cpos 1-based, snippet)."""
     cand = term_locate(index, terms)
     docs = corpus.select("doc_id", "text")
-    lt = F.lower(F.col("text"))
-    tlen = F.length("term")
-    is_alnum = lambda c: F.instr(F.lit(_ALNUM), c) > 0  # noqa: E731
+    alnum = set(_ALNUM)
 
-    # positions of token-anchored matches in the ORIGINAL text (1-based):
-    # the substring equals the term on the lowercased text and both
-    # neighbouring chars (if any) are non-alphanumeric
-    positions = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.length(lt) - tlen + 1, F.lit(1))),
-        lambda p: (lt.substr(p, tlen) == F.col("term"))
-        & ((p == 1) | ~is_alnum(lt.substr(p - 1, F.lit(1))))
-        & ((p + tlen > F.length(lt)) | ~is_alnum(lt.substr(p + tlen, F.lit(1)))),
-    )
+    # token-anchored matches in the ORIGINAL text (1-based): the substring
+    # equals the term on the lowercased text and both neighbouring chars
+    # (if any) are non-alphanumeric.  r06: enumerated in an Arrow kernel —
+    # the old column-HOF probed every char offset with three substr calls,
+    # each re-walking UTF-8 from offset 0 (O(|text|²) interpreted; 13.1 s
+    # for the sf0.1 entry) — str.find walks the doc once.
+    def enumerate_occurrences(iterator):
+        for pdf in iterator:
+            t_out, d_out, o_out, c_out, s_out = [], [], [], [], []
+            for term, doc_id, text in zip(
+                pdf["term"], pdf["doc_id"], pdf["text"]
+            ):
+                s = text or ""
+                lt = s.lower()
+                tl = len(term)
+                occ = 0
+                j = lt.find(term)
+                while j != -1:
+                    if (j == 0 or lt[j - 1] not in alnum) and (
+                        j + tl >= len(lt) or lt[j + tl] not in alnum
+                    ):
+                        occ += 1
+                        cpos = j + 1
+                        start0 = max(cpos - numc, 1) - 1
+                        t_out.append(term)
+                        d_out.append(doc_id)
+                        o_out.append(occ)
+                        c_out.append(cpos)
+                        s_out.append(s[start0:start0 + tl + 2 * numc])
+                    j = lt.find(term, j + 1)
+            yield pd.DataFrame({
+                "term": pd.Series(t_out, dtype=object),
+                "doc_id": pd.Series(d_out, dtype="int64"),
+                "occ_idx": pd.Series(o_out, dtype="int64"),
+                "cpos": pd.Series(c_out, dtype="int64"),
+                "snippet": pd.Series(s_out, dtype=object),
+            })
+
     return (
         cand.join(docs, "doc_id")
-        .select(
-            "term", "doc_id", "tf",
-            F.posexplode(positions).alias("occ0", "cpos"),
-            F.col("text"),
-        )
-        .select(
-            "term", "doc_id",
-            (F.col("occ0") + 1).cast("long").alias("occ_idx"),
-            F.col("cpos").cast("long").alias("cpos"),
-            F.substring(
-                F.col("text"),
-                F.greatest(F.col("cpos") - numc, F.lit(1)).cast("int"),
-                F.length("term") + 2 * numc,
-            ).alias("snippet"),
+        .select("term", "doc_id", "text")
+        .mapInPandas(
+            enumerate_occurrences,
+            schema="term string, doc_id long, occ_idx long, cpos long, "
+                   "snippet string",
         )
     )
 

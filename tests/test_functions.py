@@ -368,11 +368,25 @@ def test_repetition_stats_matches_brute(docs):
 
 
 def test_repetition_stats_no_shuffle(docs):
+    # the kernel form is map-only except the parallelism widen (a single
+    # round-robin exchange on narrow inputs — never a hash/agg shuffle)
     plan = (
         TS.repetition_stats(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan and "HashAggregate" not in plan
+
+
+def test_repetition_stats_kernel_matches_expr(docs, small_docs):
+    """The doc-local repetition kernel must be bit-identical to the
+    column-expression rendering on both fixtures."""
+    for d in (docs, small_docs):
+        kern = {r["doc_id"]: tuple(r)[1:]
+                for r in TS.repetition_stats(d).collect()}
+        expr = {r["doc_id"]: tuple(r)[1:]
+                for r in TS.repetition_stats_expr(d).collect()}
+        assert kern == expr and len(kern) > 0
 
 
 def test_pii_redact_counts_and_replacement(spark):
