@@ -71,11 +71,50 @@ def ngram_counts(docs: DataFrame, n: int = 2, top_n: int = 100) -> DataFrame:
     (per-partition heap, driver merges top_n rows per partition — never
     a full sort of the n-gram table).  Overlapping windows, so cf counts
     every occurrence, unlike the dedup shingle sets."""
-    grams = _gram_windows(tokens_col(F.col("text")), n)
+    # doc-local Arrow kernel emitting (ngram, cf, df) PARTIALS per batch:
+    # a doc is one input row, so it lives in exactly one batch and
+    # per-batch distinct-doc counts SUM to the global df — the explode
+    # (one shuffled row per window occurrence, built by an interpreted
+    # HOF) collapses to ~distinct-ngrams-per-batch rows.  Counts are
+    # integers; partial-then-final sums are exact.
+    import pandas as pd
+
+    from full_text_index_spark.functions.util import widen_partitions
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    def partials(iterator):
+        empty = pd.DataFrame({
+            "ngram": pd.Series(dtype=object),
+            "cf": pd.Series(dtype="int64"), "df": pd.Series(dtype="int64"),
+        })
+        for pdf in iterator:
+            acc: dict[str, list[int]] = {}
+            for s in pdf["text"]:
+                t = tokenize_py(s) if isinstance(s, str) else []
+                seen = set()
+                for i in range(len(t) - n + 1):
+                    g = " ".join(t[i:i + n])
+                    e = acc.get(g)
+                    if e is None:
+                        acc[g] = e = [0, 0]
+                    e[0] += 1
+                    if g not in seen:
+                        seen.add(g)
+                        e[1] += 1
+            if not acc:
+                yield empty
+                continue
+            yield pd.DataFrame({
+                "ngram": list(acc.keys()),
+                "cf": [v[0] for v in acc.values()],
+                "df": [v[1] for v in acc.values()],
+            })
+
     return (
-        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        widen_partitions(docs.select("text"))
+        .mapInPandas(partials, schema="ngram string, cf long, df long")
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .agg(F.sum("cf").alias("cf"), F.sum("df").alias("df"))
         .orderBy(F.desc("cf"), "ngram")
         .limit(top_n)
         .select("ngram", "df", "cf")
@@ -228,23 +267,41 @@ def hk_entropy(docs: DataFrame, k: int = 1) -> DataFrame:
     `entrop3` analog (reference: utils/entrop.c:72-183): H_k = Σ_ctx p(ctx) ·
     H0(next | ctx), contexts being k-grams of tokens.
     One row: (k, n_transitions, n_contexts, hk_milli = floor(H_k·10^4))."""
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks) - k
-    pairs = docs.select(
-        F.explode(
-            F.when(
-                n >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.struct(
-                        F.concat_ws(" ", F.slice(toks, i, k)).alias("ctx"),
-                        F.element_at(toks, i + k).alias("nxt"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
-        ).alias("p")
-    ).select("p.ctx", "p.nxt")
-    trans = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
+    # (ctx, nxt, c) partials from a doc-local Arrow kernel (pandas groupby
+    # per batch): the old interpreted transform built a struct array per
+    # doc via slice+concat_ws HOF lambdas (~1.7 ms/doc — 8.3 s for 5000
+    # docs at sf0.1), and the explode shuffled one row per TRANSITION;
+    # partials ship ~distinct (ctx, nxt) per batch.  Counts are integers,
+    # so partial-then-final sums are exact and `trans` is identical.
+    import pandas as pd
+
+    from full_text_index_spark.functions.util import widen_partitions
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    def transitions(iterator):
+        empty = pd.DataFrame({
+            "ctx": pd.Series(dtype=object), "nxt": pd.Series(dtype=object),
+            "c": pd.Series(dtype="int64"),
+        })
+        for pdf in iterator:
+            ctxs, nxts = [], []
+            for s in pdf["text"]:
+                t = tokenize_py(s) if isinstance(s, str) else []
+                for i in range(len(t) - k):
+                    ctxs.append(" ".join(t[i:i + k]))
+                    nxts.append(t[i + k])
+            if not ctxs:
+                yield empty
+                continue
+            part = pd.DataFrame({"ctx": ctxs, "nxt": nxts})
+            part["c"] = 1
+            yield part.groupby(["ctx", "nxt"], sort=False,
+                               as_index=False)["c"].sum()
+
+    pairs = widen_partitions(docs.select("text")).mapInPandas(
+        transitions, schema="ctx string, nxt string, c long"
+    )
+    trans = pairs.groupBy("ctx", "nxt").agg(F.sum("c").alias("c"))
     ctx_tot = trans.groupBy("ctx").agg(F.sum("c").alias("ct"))
     tot = trans.agg(F.sum("c").alias("n_trans"), F.countDistinct("ctx").alias("n_ctx"))
     p_cond = F.col("c") / F.col("ct")
@@ -451,17 +508,58 @@ def collocations(docs: DataFrame, top_n: int = 50,
     by <= 1 ulp of ln, absorbed by the floor(x·10^4 + .5) scaling; ties
     broken by ngram so the top_n cut is deterministic.
     Output: (ngram, cf, pmi_i), pmi_i = floor(pmi·10^4 + 0.5)."""
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    # one doc-local kernel pass emits unigram AND bigram count partials
+    # (kind 0 / kind 1); everything downstream — unigram cf, bigram cf,
+    # both totals — derives from the one persisted vocab-sized aggregate
+    # instead of four whole-corpus explode scans.  All counts are
+    # integers, so partial-then-final sums are exact.
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    from full_text_index_spark.functions.util import widen_partitions
+    from full_text_index_spark.tokenizer import tokenize_py
+
+    def partials(iterator):
+        empty = pd.DataFrame({
+            "kind": pd.Series(dtype="int32"),
+            "key": pd.Series(dtype=object),
+            "c": pd.Series(dtype="int64"),
+        })
+        for pdf in iterator:
+            u: dict[str, int] = {}
+            b: dict[str, int] = {}
+            for s in pdf["text"]:
+                t = tokenize_py(s) if isinstance(s, str) else []
+                for w in t:
+                    u[w] = u.get(w, 0) + 1
+                for i in range(len(t) - 1):
+                    g = t[i] + " " + t[i + 1]
+                    b[g] = b.get(g, 0) + 1
+            if not u:
+                yield empty
+                continue
+            yield pd.DataFrame({
+                "kind": [0] * len(u) + [1] * len(b),
+                "key": list(u.keys()) + list(b.keys()),
+                "c": list(u.values()) + list(b.values()),
+            })
+
+    agg = (
+        widen_partitions(docs.select("text"))
+        .mapInPandas(partials, schema="kind int, key string, c long")
+        .groupBy("kind", "key")
+        .agg(F.sum("c").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ucf"))
-    t_uni = toks.agg(F.count(F.lit(1)).alias("t_u"))
-    big = docs.select(
-        F.explode(_gram_windows(tokens_col(F.col("text")), 2)).alias("ngram")
+    uni = agg.where(F.col("kind") == 0).select(
+        F.col("key").alias("term"), F.col("c").alias("ucf")
     )
-    t_bi = big.agg(F.count(F.lit(1)).alias("t_b"))
+    t_uni = uni.agg(F.sum("ucf").alias("t_u"))
+    t_bi = agg.where(F.col("kind") == 1).agg(F.sum("c").alias("t_b"))
     bg = (
-        big.groupBy("ngram").agg(F.count(F.lit(1)).alias("cf"))
+        agg.where(F.col("kind") == 1)
+        .select(F.col("key").alias("ngram"), F.col("c").alias("cf"))
         .where(F.col("cf") >= min_cf)
         .withColumn("ta", F.split("ngram", " ")[0])
         .withColumn("tb", F.split("ngram", " ")[1])
