@@ -620,19 +620,8 @@ def build_index(
         scope = docs_dl if len(todo) == n_segments else docs_dl.where(
             F.col("segment").isin([int(s) for s in todo])
         )
-        # route the wide shuffle by probed SEGMENT label
-        # (query._bucket_labels — plain hash on n_segments keys leaves
-        # ~1/e slots idle): each pack task then holds WHOLE segments, so
-        # the partitionBy(generation, segment) write emits one file per
-        # (task, segment) = n_segments well-sized files instead of
-        # sp × n_segments small ones (guide §6 — small files hurt twice;
-        # measured: the token build's write was ~3.9 s of its 5.1 s pack
-        # phase at 50k docs).  tf aggregation happens inside the packer's
-        # token-level branch (the same numpy boundary scan the positional
-        # path uses) — the former JVM groupBy behind the exchange only
-        # reduced Arrow rows ~1.8×, which the file-count win dwarfs.
-        # Shuffle bytes are unchanged: raw occurrences crossed the wire
-        # in both designs.
+        # probed SEGMENT labels (query._bucket_labels — plain hash on
+        # n_segments keys leaves ~1/e slots idle)
         from full_text_index_spark.query import _bucket_labels
 
         dp = max(spark.sparkContext.defaultParallelism, 1)
@@ -643,15 +632,41 @@ def build_index(
             label_arr,
             (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
         )
-        shuffled = (
-            stream(scope)
-            .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
-            .withColumn("pkey", route)
-            .repartition(n_buckets, "pkey")
-            .drop("pkey")
-        )
-        # the sorted occurrence rows are themselves the position stream
-        pack_in = shuffled.sortWithinPartitions(*sort_keys)
+        if positions:
+            # positional builds route the ONE wide shuffle by segment
+            # label: each pack task holds whole segments (the sorted
+            # occurrence rows are themselves the position stream — there
+            # is no aggregation to lose), and the write below emits
+            # n_segments well-sized files.
+            pack_in = (
+                stream(scope)
+                .select(*pack_cols)
+                .withColumn("pkey", route)
+                .repartition(n_buckets, "pkey")
+                .drop("pkey")
+                .sortWithinPartitions(*sort_keys)
+            )
+        else:
+            # token builds keep the r05 agg-first shape: raw occurrences
+            # cross the ONE (segment, term) exchange, tf aggregates
+            # JVM-side behind it (subset-partitioning reuse — no second
+            # exchange), and the Arrow hop ships one row per POSTING.
+            # This was briefly replaced by label-routing the raw rows with
+            # in-packer aggregation, which was ~8% faster at local[1] but
+            # ~10% SLOWER at local[4] (1-vs-4 A/B on the 240k bench
+            # corpus): the agg reduces bytes BEFORE the sort and the
+            # JVM→Python hop (guide §2.3), which is what scales on a
+            # bandwidth-limited host — so agg-first wins the N→4N gate.
+            shuffled = (
+                stream(scope)
+                .select(*pack_cols)  # prune pre-shuffle
+                .repartition(sp, "segment", "term")
+            )
+            pack_in = (
+                shuffled.groupBy("segment", "term", "doc_id")
+                .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+                .sortWithinPartitions(*sort_keys)
+            )
         packed = (
             pack_in
             .mapInPandas(
@@ -660,6 +675,19 @@ def build_index(
             )
             .withColumn("generation", F.lit(0))
         )
+        if not positions:
+            # file-count discipline WITHOUT giving up the agg: repartition
+            # the PACKED rows (tiny — the compressed index itself) by
+            # segment label so the partitionBy(generation, segment) write
+            # emits n_segments files instead of sp × n_segments small
+            # ones (guide §6; the write was ~3.9 s of the 5.1 s token
+            # pack phase at sp=32).  The positional branch is already
+            # segment-aligned from its own routing.
+            packed = (
+                packed.withColumn("pkey", route)
+                .repartition(n_buckets, "pkey")
+                .drop("pkey")
+            )
         packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(
             paths.postings
         )

@@ -131,12 +131,14 @@ def append_generation(
     pack_cols = ["segment", "term", "doc_id", "doclen"] + (
         ["tpos"] if positions else []
     )
-    # probed segment-label routing, mirroring build_index: whole segments
-    # per pack task → n_segments output files instead of sp × n_segments
-    # (guide §6); tf aggregation happens inside the packer's token-level
-    # branch, same as the batch build
+    # mirrors build_index: positional appends label-route the one wide
+    # shuffle (whole segments per pack task); token appends keep the
+    # agg-first shape behind the (segment, term) exchange and
+    # label-repartition only the PACKED rows — n_segments output files
+    # either way (guide §6) without giving up the byte-reducing agg
     from full_text_index_spark.query import _bucket_labels
 
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     dp = max(spark.sparkContext.defaultParallelism, 1)
     n_buckets = int(min(n_segments, max(2 * dp, 8)))
     labels = _bucket_labels(spark, n_buckets)
@@ -145,14 +147,26 @@ def append_generation(
         label_arr,
         (F.pmod(F.col("segment"), F.lit(n_buckets)) + 1).cast("int"),
     )
-    shuffled = (
-        stream(docs_dl)
-        .select(*pack_cols)  # prune pre-shuffle: tpos ships when packed
-        .withColumn("pkey", route)
-        .repartition(n_buckets, "pkey")
-        .drop("pkey")
-    )
-    pack_in = shuffled.sortWithinPartitions(*sort_keys)
+    if positions:
+        pack_in = (
+            stream(docs_dl)
+            .select(*pack_cols)
+            .withColumn("pkey", route)
+            .repartition(n_buckets, "pkey")
+            .drop("pkey")
+            .sortWithinPartitions(*sort_keys)
+        )
+    else:
+        shuffled = (
+            stream(docs_dl)
+            .select(*pack_cols)  # prune pre-shuffle
+            .repartition(sp, "segment", "term")
+        )
+        pack_in = (
+            shuffled.groupBy("segment", "term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+            .sortWithinPartitions(*sort_keys)
+        )
     packed = (
         pack_in
         .mapInPandas(
@@ -161,6 +175,12 @@ def append_generation(
         )
         .withColumn("generation", F.lit(generation))
     )
+    if not positions:
+        packed = (
+            packed.withColumn("pkey", route)
+            .repartition(n_buckets, "pkey")
+            .drop("pkey")
+        )
     packed.write.mode("overwrite").partitionBy("generation", "segment").parquet(
         paths.postings
     )

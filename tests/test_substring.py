@@ -474,3 +474,36 @@ def test_substring_count_ci_zero_fill(ci_setup):
                                         ["Quick", "ZZQ"]).collect()}
     assert rows["Quick"] == (3, 6)
     assert rows["ZZQ"] == (0, 0)
+
+
+def test_gram_code_supplementary_plane_roundtrip(spark, tmp_path_factory):
+    """The packed int gram codes (21 bits per codepoint, make_gram_stream)
+    must round-trip ANY Unicode scalar, including supplementary-plane
+    (4-byte UTF-8) characters — locate via the index must match a brute
+    scan on a corpus containing them."""
+    texts = [
+        "smile \U0001F600\U0001F600 twice",   # U+1F600 > 0xFFFF
+        "math \U0001D49C x \U0001D49C y",     # U+1D49C script A
+        "plain ascii filler text",
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "url": [f"s://{i}" for i in range(len(texts))],
+        "text": texts,
+    })
+    root = str(tmp_path_factory.mktemp("suppidx"))
+    build_gram_index(spark, prepare_corpus(spark.createDataFrame(pdf)),
+                     root, k=3, n_segments=2, block_size=8)
+    idx = InvertedIndex.open(spark, root)
+    pats = ["\U0001F600\U0001F600 tw", " \U0001D49C y", "iller"]
+    got = {}
+    for r in substring_locate(idx, pats).collect():
+        got.setdefault((r["pattern"], r["doc_id"]), []).append(r["cpos"])
+    want = {}
+    for d, text in enumerate(texts):
+        for p in pats:
+            pos = [i + 1 for i in range(len(text) - len(p) + 1)
+                   if text[i:i + len(p)] == p]
+            if pos:
+                want[(p, d)] = pos
+    assert {k: sorted(v) for k, v in got.items()} == want and len(want) == 3
